@@ -1,0 +1,38 @@
+"""Shared helpers for device engines: padding, bucketing, table transfer.
+
+XLA traces static shapes, so sequences are padded with the inert PAD_CODE to
+bucketed lengths (SURVEY.md §7.2 "dynamic lengths vs XLA static shapes").
+Buckets grow geometrically (x1.5) from a 512 floor to bound the number of
+compiled variants while wasting <= 50% padding work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LANE = 128
+
+
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def bucket_len(n: int, floor: int = 512, multiple: int = LANE) -> int:
+    """Smallest bucket >= n from {floor, 1.5*floor, ...}, lane-aligned."""
+    b = floor
+    while b < n:
+        b = round_up(int(b * 3 // 2), multiple)
+    return b
+
+
+def pad_query(codes1: np.ndarray, codes2: np.ndarray,
+              floor: int = 512) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pad both sequences to bucketed lengths; returns (c1p, c2p, noff)."""
+    from psa_tpu.core.alphabet import pad_codes
+
+    n1, n2 = codes1.shape[0], codes2.shape[0]
+    noff = n1 - n2 + 1
+    l2p = bucket_len(n2, floor)
+    # seq1 must cover every window [o, o + l2p) for o < noff.
+    l1p = bucket_len(max(n1, noff + l2p - 1), floor)
+    return pad_codes(codes1, l1p), pad_codes(codes2, l2p), noff

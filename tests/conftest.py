@@ -10,10 +10,15 @@ import os
 
 _platform = os.environ.get("PSA_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    # This environment pre-pins jax_platforms (e.g. "axon,cpu"), so the
+    # JAX_PLATFORMS env var alone does not stick — update the config directly
+    # before any backend initializes.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
