@@ -1,0 +1,164 @@
+"""The hot Pallas TPU kernel: banded one-hot matmul sweep.
+
+TPU-native replacement for the reference's CUDA grid kernel + tree reductions
+(cuda_funcs.cu:149-264).  Per grid program (one tile of TO offsets):
+
+  for each 128-char chunk of Seq2:
+    1. slice the Seq1 one-hot window (32, TO+C) from VMEM,
+    2. MXU matmul against the per-position code columns (32, C):
+         M[r, ii] = CODE[seq1[base+r], seq2[chunk+ii]]
+       — a one-hot contraction, so every output is the exact table value
+       (single nonzero term, no accumulation error even in bf16),
+    3. shear the band M[oo+ii, ii] -> D[oo, ii] with a log2(C)-step
+       masked-roll shifter (the TPU answer to CUDA's per-thread indexing),
+    4. decode D into sign classes / substitution ranks and reduce on the VPU:
+       integer class counts (sum over chunk lanes) and max rank.
+
+Outputs exact integer per-offset statistics; winner selection stays on the
+host (ops/select.py).  There is no floating-point ambiguity anywhere on the
+device, so the canonical tie-break survives any parallel execution order —
+the property the reference gets from `is_swapable` (cuda_funcs.cu:290-307).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psa_tpu.core.alphabet import NCODES_PAD
+from psa_tpu.core.tables import ScoringTables
+from psa_tpu.ops.common import round_up
+
+TILE_O = 512          # offsets per grid program
+CHUNK = 128           # seq2 positions per inner step (= lane width)
+# Max Seq1 one-hot footprint kept VMEM-resident (bf16): 32 * L1K * 2 bytes.
+# Beyond this, shard the offset axis (parallel/mesh.py) so each shard's slice
+# fits.
+MAX_L1_VMEM = 192 * 1024
+
+
+def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int):
+    i = pl.program_id(0)
+    o0 = i * TILE_O
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    acc_ref[:, 4:5] = jnp.full((TILE_O, 1), -1, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_O + CHUNK, CHUNK), 1)
+
+    def body(c, _):
+        base = pl.multiple_of(o0 + c * CHUNK, CHUNK)
+        win = s1oh_ref[:, pl.ds(base, TILE_O + CHUNK)]      # (32, TO+C) bf16
+        pcc = pc_ref[:, pl.ds(c * CHUNK, CHUNK)]            # (32, C) bf16
+        m = jax.lax.dot_general(
+            win, pcc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # (TO+C, C)
+        # Shear: D[oo, ii] = M[oo + ii, ii] via log-step masked rolls.
+        # (pltpu.roll requires non-negative shifts: rolling up by b is rolling
+        # down by rows - b.)
+        b = 1
+        while b < CHUNK:
+            m = jnp.where((col & b) != 0,
+                          pltpu.roll(m, TILE_O + CHUNK - b, 0), m)
+            b *= 2
+        d = m[:TILE_O, :].astype(jnp.int32)                  # (TO, C) fused codes
+
+        valid = d > 0
+        v = d - 1
+        cls = jnp.where(valid, v & 3, -1)
+        rank = jnp.where(valid, (v >> 2) - 1, -1)
+        for k in range(4):
+            acc_ref[:, k:k + 1] += jnp.sum(
+                (cls == k).astype(jnp.int32), axis=1, keepdims=True
+            )
+        acc_ref[:, 4:5] = jnp.maximum(
+            acc_ref[:, 4:5], jnp.max(rank, axis=1, keepdims=True)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("noff_pad", "nchunks", "interpret"))
+def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool):
+    ntiles = noff_pad // TILE_O
+    kernel = functools.partial(_sweep_kernel, nchunks=nchunks)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full s1 one-hot resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full pair-code columns
+        ],
+        out_specs=pl.BlockSpec((TILE_O, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((noff_pad, 8), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((TILE_O, 8), jnp.int32)],
+        interpret=interpret,
+    )(s1oh_t, pc)
+
+
+@functools.partial(jax.jit, static_argnames=("l1k", "l2p"))
+def _prepare(codes1p, codes2p, code_tab, l1k: int, l2p: int):
+    """Build device operands: transposed Seq1 one-hot + per-position codes."""
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    c1 = jnp.full((l1k,), PAD_CODE, jnp.int32).at[: codes1p.shape[0]].set(codes1p)
+    s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.bfloat16, axis=0)  # (32, L1K)
+    c2 = jnp.full((l2p,), PAD_CODE, jnp.int32).at[: codes2p.shape[0]].set(codes2p)
+    pc = code_tab.astype(jnp.bfloat16)[:, c2]                            # (32, L2P)
+    return s1oh_t, pc
+
+
+def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
+                       code_tab: jnp.ndarray, per_shard: int, l2p: int,
+                       interpret: bool | None = None):
+    """Shard-local sweep for shard_map bodies -> (per_shard, 5) int32.
+
+    c1_local: (per_shard + l2p,) int32 codes; c2p: (l2p,) int32 codes.
+    per_shard must be a multiple of TILE_O; l2p a multiple of CHUNK.
+    """
+    assert per_shard % TILE_O == 0 and l2p % CHUNK == 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s1oh_t = jax.nn.one_hot(c1_local, NCODES_PAD, dtype=jnp.bfloat16, axis=0)
+    pc = code_tab.astype(jnp.bfloat16)[:, c2p]
+    out = _sweep_pallas(s1oh_t, pc, per_shard, l2p // CHUNK, bool(interpret))
+    return out[:, :5]
+
+
+def plan_shapes(n1: int, n2: int):
+    """Static padded shapes for a (n1, n2) problem."""
+    noff = n1 - n2 + 1
+    l2p = round_up(max(n2, CHUNK), CHUNK)
+    noff_pad = round_up(noff, TILE_O)
+    l1k = noff_pad + l2p
+    return noff, noff_pad, l2p, l1k
+
+
+def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
+                        tables: ScoringTables, interpret: bool | None = None):
+    codes1 = np.asarray(codes1, dtype=np.int32)
+    codes2 = np.asarray(codes2, dtype=np.int32)
+    noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0], codes2.shape[0])
+    if l1k > MAX_L1_VMEM:
+        raise ValueError(
+            f"seq1 window {l1k} exceeds single-kernel VMEM budget {MAX_L1_VMEM}; "
+            "use the sharded search (psa_tpu.parallel.mesh) which slices seq1 "
+            "per offset shard"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s1oh_t, pc = _prepare(jnp.asarray(codes1), jnp.asarray(codes2),
+                          jnp.asarray(tables.code), l1k, l2p)
+    out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, bool(interpret))
+    out = np.asarray(out)
+    return out[:noff, :4], out[:noff, 4]

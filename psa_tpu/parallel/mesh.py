@@ -1,0 +1,154 @@
+"""Offset-axis sharding over a device mesh.
+
+TPU-native replacement for the reference's MPI data split
+(cpu_funcs.c:128-133: contiguous equal offset blocks per rank, remainder to
+the last) and its MAXLOC/Allreduce + Send/Recv merge (cpu_funcs.c:64-94):
+
+* Seq1/Seq2/tables are replicated (Seq1 is small: bytes per char),
+* the offset axis is block-sharded over the mesh with `shard_map` — each
+  device slices its own Seq1 window with `lax.dynamic_slice`, so VMEM holds
+  only the local window and the design scales to arbitrarily long Seq1,
+* per-offset integer statistics come back as a global array sharded on the
+  offset axis; the exact winner is selected on the host (ops/select.py),
+  whose integer inputs make the result independent of device count —
+  the multi-host determinism requirement of SURVEY.md §7.2,
+* a fully in-graph merge (`device_reduce_winner`) is also provided for
+  pipelines that must not leave the device: it reduces each shard to a
+  packed candidate and picks the global winner with an all-gather +
+  lexicographic argmin, reproducing the canonical tie-break.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from psa_tpu.core.tables import ScoringTables
+from psa_tpu.ops.common import round_up
+from psa_tpu.ops.engine_xla import stats_from_codevals
+
+
+def make_mesh(devices=None, axis: str = "op") -> Mesh:
+    """1-D mesh over all (or given) devices; offsets shard along `axis`."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _local_stats_jnp(c1_local, c2p, code_flat, noff_local: int, block: int = 512):
+    """Per-shard sweep in plain jnp (portable; the pallas path plugs in on TPU)."""
+    l2p = c2p.shape[0]
+    nblocks = noff_local // block
+
+    def body(b):
+        offs = b * block + jnp.arange(block)
+        win = c1_local[offs[:, None] + jnp.arange(l2p)[None, :]]
+        codeval = code_flat[win * 32 + c2p[None, :]].astype(jnp.int32)
+        counts, maxrank = stats_from_codevals(codeval)
+        return jnp.concatenate([counts, maxrank[:, None]], axis=1)
+
+    out = jax.lax.map(body, jnp.arange(nblocks))
+    return out.reshape(-1, 5)
+
+
+def sharded_offset_stats(codes1p: jnp.ndarray, codes2p: jnp.ndarray,
+                         tables: ScoringTables, mesh: Mesh,
+                         kernel: str = "auto"):
+    """Global (noff_pad, 5) int32 stats, block-sharded over the mesh.
+
+    codes1p must be padded so every shard's window fits:
+    len >= noff_pad + len(codes2p) where noff_pad = n_shards * per_shard.
+    """
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    l1p = codes1p.shape[0]
+    l2p = codes2p.shape[0]
+    noff_pad = l1p - l2p
+    assert noff_pad % (n_shards * 512) == 0, "pad offsets to n_shards*512"
+    per_shard = noff_pad // n_shards
+
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
+    code_tab = jnp.asarray(tables.code)
+
+    def body(c1, c2, cflat, ctab):
+        k = jax.lax.axis_index(axis)
+        o0 = k * per_shard
+        c1_local = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
+        if kernel == "pallas":
+            from psa_tpu.ops.pallas_sweep import local_stats_pallas
+
+            stats = local_stats_pallas(c1_local, c2, ctab, per_shard, l2p)
+        else:
+            stats = _local_stats_jnp(c1_local, c2, cflat, per_shard)
+        return stats
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(codes1p, codes2p, code_flat, code_tab)
+
+
+def pad_for_mesh(codes1: np.ndarray, codes2: np.ndarray, n_shards: int,
+                 block: int = 512):
+    """Pad sequences so the offset axis splits into n_shards * block tiles."""
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.ops.common import round_up
+
+    n1, n2 = codes1.shape[0], codes2.shape[0]
+    noff = n1 - n2 + 1
+    l2p = round_up(max(n2, 128), 128)
+    noff_pad = round_up(noff, n_shards * block)
+    l1p = noff_pad + l2p
+    return pad_codes(codes1, l1p), pad_codes(codes2, l2p), noff
+
+
+def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
+                   tables: ScoringTables, mesh: Mesh | None = None,
+                   kernel: str = "auto"):
+    """End-to-end sharded search -> SearchResult (exact host selection)."""
+    from psa_tpu.ops.select import select_best
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_shards = mesh.shape[mesh.axis_names[0]]
+    c1p, c2p, noff = pad_for_mesh(codes1, codes2, n_shards)
+    stats = sharded_offset_stats(jnp.asarray(c1p), jnp.asarray(c2p),
+                                 tables, mesh, kernel=kernel)
+    stats = np.asarray(stats)
+    return select_best(stats[:, :4], stats[:, 4], tables,
+                       np.asarray(codes1, np.int32), np.asarray(codes2, np.int32),
+                       noff=noff)
+
+
+def device_reduce_winner(stats: jnp.ndarray, tables: ScoringTables, noff: int):
+    """In-graph global winner from sharded stats (f32 ranking).
+
+    Returns (offset, maxrank, total_f32). Used by throughput paths that must
+    avoid host transfers; exactness-critical flows use ops/select.py instead.
+    """
+    w = tables.w_signed.astype(np.float32)
+    diff_vals = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
+    )
+    counts = stats[:, :4].astype(jnp.float32)
+    maxrank = stats[:, 4]
+    score = counts @ jnp.asarray(w)
+    total = score + diff_vals[jnp.clip(maxrank, 0, None)]
+    n = stats.shape[0]
+    offs = jnp.arange(n, dtype=jnp.int32)
+    valid = (maxrank >= 0) & (offs < noff)
+    sign = 1.0 if tables.is_max else -1.0
+    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    best = jnp.argmax(keyed)  # first occurrence = lowest offset on ties
+    return best, maxrank[best], total[best]

@@ -12,7 +12,7 @@ from psa_tpu.models.search import AlignmentSearchEngine
 
 from conftest import random_codes
 
-ENGINES = ["xla", "conv"]
+ENGINES = ["xla", "conv", "pallas"]
 
 WEIGHT_SETS = [
     (1.0, 3.0, 4.0, 2.0),   # golden weights

@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 implication (3): shard-merge must equal the single-chip result,
+independent of device count)."""
+
+import jax
+import numpy as np
+import pytest
+
+from psa_tpu.core.tables import build_tables
+from psa_tpu.models.search import AlignmentSearchEngine
+from psa_tpu.parallel.mesh import (
+    device_reduce_winner,
+    make_mesh,
+    pad_for_mesh,
+    search_sharded,
+    sharded_offset_stats,
+)
+
+from conftest import random_codes
+
+
+@pytest.fixture(scope="module")
+def tables_min():
+    return build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_matches_single_chip(n_dev, tables_min):
+    rng = np.random.default_rng(7)
+    c1 = random_codes(rng, 3000)
+    c2 = random_codes(rng, 700)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    got = search_sharded(c1, c2, tables_min, mesh)
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
+    assert got == ref
+
+
+@pytest.mark.parametrize("is_max", [True, False])
+def test_sharded_stats_match_oracle(is_max):
+    from psa_tpu.core.oracle import offset_stats_numpy
+
+    rng = np.random.default_rng(13 + is_max)
+    tables = build_tables(np.array([2.0, 1.0, 3.0, 0.5]), is_max)
+    c1 = random_codes(rng, 2500)
+    c2 = random_codes(rng, 300)
+    mesh = make_mesh()
+    import jax.numpy as jnp
+
+    c1p, c2p, noff = pad_for_mesh(c1, c2, 8)
+    stats = np.asarray(sharded_offset_stats(jnp.asarray(c1p), jnp.asarray(c2p), tables, mesh))
+    counts_ref, maxrank_ref = offset_stats_numpy(c1, c2, tables)
+    np.testing.assert_array_equal(stats[:noff, :4], counts_ref)
+    np.testing.assert_array_equal(stats[:noff, 4], maxrank_ref)
+
+
+def test_device_reduce_matches_host_select(tables_min):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    c1 = random_codes(rng, 2000)
+    c2 = random_codes(rng, 400)
+    mesh = make_mesh()
+    c1p, c2p, noff = pad_for_mesh(c1, c2, 8)
+    stats = sharded_offset_stats(jnp.asarray(c1p), jnp.asarray(c2p), tables_min, mesh)
+    best, maxrank, total = device_reduce_winner(jnp.asarray(stats), tables_min, noff)
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
+    assert int(best) == ref.offset
+
+
+def test_sharded_pallas_kernel(tables_min):
+    """Force the pallas shard-local kernel (interpret mode on CPU)."""
+    rng = np.random.default_rng(11)
+    c1 = random_codes(rng, 6000)
+    c2 = random_codes(rng, 500)
+    mesh = make_mesh()
+    got = search_sharded(c1, c2, tables_min, mesh, kernel="pallas")
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
+    assert got == ref
