@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Prints ONE JSON line with the primary metric:
+    pair evaluations / second / chip  (offset x position table evaluations)
+
+This is BASELINE.json's north-star throughput metric.  `vs_baseline` divides
+by an estimated ceiling for the reference CUDA kernel (cuda_funcs.cu:149-199)
+of 5e8 pair-evals/s — a generous figure for its one-block-per-offset grid with
+per-thread substitution scans on the era-appropriate GPU (the reference
+publishes no measured numbers; see BASELINE.md).
+
+Usage:  python bench.py [--quick] [--engine pallas|conv] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_PAIR_EVALS_PER_S = 5.0e8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_sweep(engine: str, n1: int, n2: int, iters: int, seed: int = 0):
+    """Time the warm device sweep (stats kernel only, device-resident I/O)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psa_tpu.core.alphabet import encode
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.utils.generator import random_sequences
+
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    seq1, seq2 = random_sequences(n1, n2, seed=seed)
+    c1, c2 = encode(seq1), encode(seq2)
+    noff = n1 - n2 + 1
+
+    if engine == "pallas":
+        from psa_tpu.ops import pallas_sweep as ps
+
+        noff_, noff_pad, l2p, l1k = ps.plan_shapes(n1, n2)
+        interpret = jax.default_backend() != "tpu"
+        s1oh_t, pc = ps._prepare(jnp.asarray(c1), jnp.asarray(c2),
+                                 jnp.asarray(tables.code), l1k, l2p)
+        jax.block_until_ready((s1oh_t, pc))
+
+        def run():
+            return ps._sweep_pallas(s1oh_t, pc, noff_pad, l2p // ps.CHUNK, interpret)
+    elif engine == "conv":
+        from psa_tpu.ops.common import pad_query
+        from psa_tpu.ops.engine_conv import _sweep_conv
+
+        c1p, c2p, _ = pad_query(c1, c2)
+        c1p, c2p = jnp.asarray(c1p), jnp.asarray(c2p)
+        code_tab = jnp.asarray(tables.code)
+        jax.block_until_ready((c1p, c2p))
+
+        def run():
+            return _sweep_conv(c1p, c2p, code_tab, tables.num_ranks)
+    else:
+        raise ValueError(engine)
+
+    t0 = time.perf_counter()
+    out = run()
+    jax.block_until_ready(out)
+    compile_and_first = time.perf_counter() - t0
+    log(f"[bench] {engine} first call (compile+run): {compile_and_first:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    pair_evals = float(noff) * float(n2)
+    rate = pair_evals / dt
+    log(f"[bench] {engine} {n1}x{n2}: {dt*1e3:.2f} ms/sweep, "
+        f"{pair_evals:.3g} pair-evals, {rate:.3g} evals/s")
+    return rate, dt, pair_evals
+
+
+def bench_golden(engine: str):
+    """End-to-end golden workload: parse -> search -> format, parity-checked."""
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import format_output, read_input
+
+    q = read_input("/root/reference/input.txt")
+    eng = AlignmentSearchEngine(q.weights, q.is_max, backend=engine)
+    eng.search(q.seq1, q.seq2)  # warm
+    t0 = time.perf_counter()
+    res = eng.search(q.seq1, q.seq2)
+    dt = time.perf_counter() - t0
+    got = format_output(res.mutant(q.seq2), res.offset, res.score)
+    want = open("/root/reference/output.txt").read()
+    ok = got == want
+    log(f"[bench] golden e2e ({engine}): {dt*1e3:.1f} ms, parity={'OK' if ok else 'FAIL'}")
+    return dt, ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--engine", default=None, choices=[None, "pallas", "conv"])
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    engine = args.engine or ("pallas" if backend == "tpu" else "conv")
+    log(f"[bench] backend={backend} devices={jax.devices()} engine={engine}")
+
+    if args.quick:
+        n1, n2, iters = 16384, 2048, 5
+    else:
+        n1, n2, iters = 131072, 8192, 10
+
+    rate, dt, pair_evals = bench_sweep(engine, n1, n2, iters)
+    golden_dt, golden_ok = bench_golden(engine)
+
+    result = {
+        "metric": "pair_evals_per_sec_per_chip",
+        "value": rate,
+        "unit": "evals/s",
+        "vs_baseline": rate / REF_BASELINE_PAIR_EVALS_PER_S,
+        "detail": {
+            "backend": backend,
+            "engine": engine,
+            "workload": {"n1": n1, "n2": n2},
+            "sweep_ms": dt * 1e3,
+            "golden_e2e_ms": golden_dt * 1e3,
+            "golden_parity": golden_ok,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Batched multi-query search over a 2-D (batch x offset) device mesh.
+
+BASELINE.json config 5: stream many independent (Seq1, Seq2, weights-shared)
+queries data-parallel across the pod.  Queries are padded to shared bucketed
+shapes and sharded over the 'dp' mesh axis; each query's offset axis is
+sharded over 'op' exactly like the single-query path (parallel/mesh.py).
+The winner reduction stays in-graph so only (B, 3) scalars leave the device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from psa_tpu.core.tables import ScoringTables
+from psa_tpu.ops.engine_xla import stats_from_codevals
+
+
+def make_mesh_2d(dp: int, op: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * op]).reshape(dp, op)
+    return Mesh(devices, ("dp", "op"))
+
+
+def _local_stats(c1_local, c2p, code_flat, noff_local: int, block: int):
+    l2p = c2p.shape[0]
+    nblocks = noff_local // block
+
+    def body(b):
+        offs = b * block + jnp.arange(block)
+        win = c1_local[offs[:, None] + jnp.arange(l2p)[None, :]]
+        codeval = code_flat[win * 32 + c2p[None, :]].astype(jnp.int32)
+        counts, maxrank = stats_from_codevals(codeval)
+        return jnp.concatenate([counts, maxrank[:, None]], axis=1)
+
+    return jax.lax.map(body, jnp.arange(nblocks)).reshape(-1, 5)
+
+
+def batched_sharded_stats(c1b: jnp.ndarray, c2b: jnp.ndarray,
+                          tables: ScoringTables, mesh: Mesh,
+                          block: int = 512):
+    """(B, L1P) x (B, L2P) -> (B, noff_pad, 5) int32 sharded (dp, op, None)."""
+    l1p, l2p = c1b.shape[1], c2b.shape[1]
+    noff_pad = l1p - l2p
+    op = mesh.shape["op"]
+    assert noff_pad % (op * block) == 0
+    per_shard = noff_pad // op
+    code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
+
+    def body(c1_loc, c2_loc, cflat):
+        k = jax.lax.axis_index("op")
+        o0 = k * per_shard
+
+        def per_query(c1, c2):
+            c1l = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
+            return _local_stats(c1l, c2, cflat, per_shard, block)
+
+        return jax.vmap(per_query)(c1_loc, c2_loc)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P()),
+        out_specs=P("dp", "op", None),
+        check_vma=False,
+    )
+    return fn(c1b, c2b, code_flat)
+
+
+def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
+                           noffs: jnp.ndarray):
+    """In-graph per-query winners: (B,) offsets, (B,) maxranks, (B,) f32 totals."""
+    w = jnp.asarray(tables.w_signed.astype(np.float32))
+    diff_vals = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
+    )
+    counts = stats[..., :4].astype(jnp.float32)
+    maxrank = stats[..., 4]
+    total = counts @ w + diff_vals[jnp.clip(maxrank, 0, None)]
+    n = stats.shape[1]
+    offs = jnp.arange(n, dtype=jnp.int32)[None, :]
+    valid = (maxrank >= 0) & (offs < noffs[:, None])
+    sign = 1.0 if tables.is_max else -1.0
+    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    best = jnp.argmax(keyed, axis=1)
+    bi = jnp.arange(stats.shape[0])
+    return best, maxrank[bi, best], total[bi, best]
+
+
+def batched_search_step(tables: ScoringTables, mesh: Mesh, block: int = 512):
+    """Returns a jittable step: (c1b, c2b, noffs) -> (offsets, maxranks, totals)."""
+
+    def step(c1b, c2b, noffs):
+        stats = batched_sharded_stats(c1b, c2b, tables, mesh, block=block)
+        return batched_device_winners(stats, tables, noffs)
+
+    return step

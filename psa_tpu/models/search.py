@@ -84,6 +84,12 @@ class AlignmentSearchEngine:
         codes2 = np.asarray(codes2, dtype=np.int32)
         if codes2.shape[0] > codes1.shape[0]:
             raise ValueError("seq2 must not be longer than seq1")
+        if self._resolve_backend() == "native":
+            # the native engine applies the reference's sequential semantics
+            # directly — no separate selection pass needed
+            from psa_tpu.native import search_native
+
+            return search_native(codes1, codes2, self.tables)
         counts, maxrank = self.offset_stats(codes1, codes2)
         noff = codes1.shape[0] - codes2.shape[0] + 1
         return select_best(np.asarray(counts), np.asarray(maxrank),

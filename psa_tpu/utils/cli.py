@@ -1,0 +1,107 @@
+"""Command-line driver.
+
+Replaces the reference's main.c + orchestrator (main.c:13-56,
+cpu_funcs.c:25-121): read input, search, write output, print the wall time.
+The reference's single runtime flag (argv[1] = cuda_percentage,
+main.c:30-42) maps to `--backend`: engine selection is explicit instead of a
+percentage split across heterogeneous devices (a TPU host has one accelerator
+type; SURVEY.md §2 "Parallelism strategy 2").
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="psa",
+        description="TPU-native mutant-alignment search "
+                    "(best single-substitution alignment of Seq2 under Seq1)",
+    )
+    p.add_argument("input", nargs="?", default="./input.txt",
+                   help="input file: 4 weights, Seq1, Seq2, maximum|minimum "
+                        "(default ./input.txt, like the reference def.h:20)")
+    p.add_argument("-o", "--output", default="./output.txt",
+                   help="output file (default ./output.txt)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "numpy", "xla", "conv", "pallas", "native"],
+                   help="compute path (auto = pallas on TPU, conv elsewhere)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the offset axis over all local devices")
+    p.add_argument("--explain", action="store_true",
+                   help="render the winning alignment with signs and the "
+                        "mutation highlighted (reference pretty_print)")
+    p.add_argument("--lenient", action="store_true",
+                   help="accept characters outside A-Z/'-' (treated as "
+                        "score-0, non-substitutable, like the reference's "
+                        "defined out-of-range behavior)")
+    p.add_argument("--quiet", action="store_true", help="suppress progress prints")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from psa_tpu.core.alphabet import encode
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import read_input, write_output
+
+    try:
+        query = read_input(args.input)
+    except FileNotFoundError:
+        print(f"error: cannot open input file `{args.input}`", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: bad input file `{args.input}`: {e}", file=sys.stderr)
+        return 2
+    engine = AlignmentSearchEngine(query.weights, query.is_max,
+                                   backend=args.backend,
+                                   strict_alphabet=not args.lenient)
+
+    t0 = time.perf_counter()
+    try:
+        if args.sharded:
+            from psa_tpu.parallel.mesh import search_sharded
+
+            kernel = "auto" if args.backend == "auto" else args.backend
+            if kernel not in ("auto", "pallas", "xla"):
+                kernel = "xla"
+            res = search_sharded(encode(query.seq1), encode(query.seq2),
+                                 engine.tables, kernel=kernel)
+        else:
+            res = engine.search(query.seq1, query.seq2)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except NoMutationFound:
+        elapsed = time.perf_counter() - t0
+        # Defined behavior where the reference has UB (SURVEY.md Q3): report
+        # explicitly, write the unmodified Seq2 with offset -1.
+        print("There are no mutations found", file=sys.stderr)
+        write_output(args.output, query.seq2, -1,
+                     float("-inf") if query.is_max else float("inf"))
+        if not args.quiet:
+            print("total time: %g" % elapsed)
+        return 1
+    elapsed = time.perf_counter() - t0
+
+    mutant = res.mutant(query.seq2)
+    write_output(args.output, mutant, res.offset, res.score)
+    if args.explain:
+        from psa_tpu.utils.pretty import pretty_print
+
+        pretty_print(query, res)
+    if not args.quiet:
+        # same trailer the reference prints (main.c:46-47)
+        print("total time: %g" % elapsed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

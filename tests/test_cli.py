@@ -1,0 +1,68 @@
+"""CLI end-to-end: file in -> file out, byte parity with the reference."""
+
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from psa_tpu.utils.cli import main
+from psa_tpu.utils.generator import random_sequences, write_input_file
+
+
+def test_cli_golden_roundtrip(tmp_path, golden_expected):
+    out = tmp_path / "output.txt"
+    rc = main(["/root/reference/input.txt", "-o", str(out),
+               "--backend", "native", "--quiet"])
+    assert rc == 0
+    assert out.read_text() == golden_expected
+
+
+def test_cli_generated_both_modes(tmp_path):
+    seq1, seq2 = random_sequences(900, 200, seed=3)
+    for mode in ("maximum", "minimum"):
+        inp = tmp_path / f"in_{mode}.txt"
+        out = tmp_path / f"out_{mode}.txt"
+        write_input_file(str(inp), [1.0, 2.0, 3.0, 4.0], seq1, seq2, mode == "maximum")
+        rc = main([str(inp), "-o", str(out), "--backend", "numpy", "--quiet"])
+        assert rc == 0
+        text = out.read_text()
+        mutant, tail = text.split("\n")
+        assert len(mutant) == len(seq2)
+        off, score = tail.split()
+        assert 0 <= int(off) <= len(seq1) - len(seq2)
+
+
+def test_cli_no_mutation_path(tmp_path):
+    # A one-letter seq2 against identical seq1 chars in MAX mode yields a
+    # mutation (identity is never offered for '*'), but weights can make every
+    # substitution illegal only when no legal dot/space partner exists; use
+    # 'C' (conservative only with CSA members) vs all-'C' seq1 in MAX mode:
+    # sign '*', dot/space subs exist, so mutation IS found. True no-mutation
+    # requires out-of-alphabet sequences — craft with hyphens-only seq2 in MAX
+    # mode: '-' vs '-' is '*', dot candidates don't exist for '-', space subs
+    # do (any letter), so still found. The practical no-mutation case is the
+    # empty candidate table (num_ranks == 0), which cannot happen with A-Z
+    # alphabets — assert the exception path via a degenerate direct call.
+    import numpy as np
+
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.ops.select import select_best
+
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    counts = np.zeros((4, 4), np.int32)
+    maxrank = np.full(4, -1, np.int32)
+    with pytest.raises(NoMutationFound):
+        select_best(counts, maxrank, t, np.zeros(10, np.int32), np.zeros(7, np.int32))
+
+
+def test_cli_explain_runs(tmp_path, capsys):
+    seq1, seq2 = random_sequences(300, 80, seed=4)
+    inp = tmp_path / "in.txt"
+    write_input_file(str(inp), [1.0, 3.0, 4.0, 2.0], seq1, seq2, False)
+    rc = main([str(inp), "-o", str(tmp_path / "out.txt"),
+               "--backend", "numpy", "--explain", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Original Score:" in out and "Mutation Score:" in out
