@@ -125,6 +125,11 @@ def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
     c1p, c2p, noff = pad_for_mesh(codes1, codes2, n_shards)
     stats = sharded_offset_stats(jnp.asarray(c1p), jnp.asarray(c2p),
                                  tables, mesh, kernel=kernel)
+    if jax.process_count() > 1:
+        # multi-host: each process holds only its shards; gather over DCN
+        from jax.experimental import multihost_utils
+
+        stats = multihost_utils.process_allgather(stats, tiled=True)
     stats = np.asarray(stats)
     return select_best(stats[:, :4], stats[:, 4], tables,
                        np.asarray(codes1, np.int32), np.asarray(codes2, np.int32),

@@ -1,0 +1,119 @@
+"""Multi-host pod bootstrap.
+
+TPU-native replacement for the reference's MPI process layer (main.c:20-22,
+mpi_funcs.c, cpu_funcs.c:51): `jax.distributed` forms the pod slice, process 0
+owns file I/O, the query broadcasts over DCN, and the search itself is the
+same mesh-sharded program as single-host (parallel/mesh.py) — the global mesh
+simply spans all hosts' devices, so the cross-host merge is the same in-graph
+collective instead of MPI_Allreduce + Send/Recv (cpu_funcs.c:64-94).
+
+This module is exercised multi-process in CI-less environments via the
+single-process degenerate path; the code paths are identical because JAX's
+multi-controller model makes every process run the same program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Join the pod slice. No-op when JAX already knows the topology (TPU VMs
+    auto-discover) or when running single-process."""
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None:
+        return  # single-process: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def broadcast_query(query=None):
+    """Broadcast (weights, codes1, codes2, is_max) from process 0 to all.
+
+    The reference broadcasts its ~15KB ProgramData struct (cpu_funcs.c:51);
+    here the payload is the padded code arrays + weights via
+    multihost_utils.broadcast_one_to_all (DCN).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return query
+
+    from psa_tpu.core.alphabet import encode
+
+    if is_primary():
+        assert query is not None
+        c1 = encode(query.seq1).astype(np.int32)
+        c2 = encode(query.seq2).astype(np.int32)
+        header = np.array(
+            [c1.shape[0], c2.shape[0], int(query.is_max)], np.int32
+        )
+        w = np.asarray(query.weights, np.float64)
+    else:
+        header = np.zeros(3, np.int32)
+        w = np.zeros(4, np.float64)
+        c1 = c2 = None
+
+    header = multihost_utils.broadcast_one_to_all(header)
+    w = multihost_utils.broadcast_one_to_all(w)
+    n1, n2, is_max = (int(x) for x in header)
+    if c1 is None:
+        c1 = np.zeros(n1, np.int32)
+        c2 = np.zeros(n2, np.int32)
+    c1 = multihost_utils.broadcast_one_to_all(c1)
+    c2 = multihost_utils.broadcast_one_to_all(c2)
+    return w, c1, c2, bool(is_max)
+
+
+def run_distributed_search(input_path: str, output_path: str,
+                           backend_kernel: str = "auto") -> int:
+    """Full multi-host flow: proc-0 read -> broadcast -> global-mesh sharded
+    search -> proc-0 write. Returns 0/1 like the CLI."""
+    import jax
+
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.parallel.mesh import make_mesh, search_sharded
+    from psa_tpu.utils.io import read_input, write_output
+
+    query = read_input(input_path) if is_primary() else None
+    if jax.process_count() > 1:
+        w, c1, c2, is_max = broadcast_query(query)
+    else:
+        from psa_tpu.core.alphabet import encode
+
+        w = np.asarray(query.weights, np.float64)
+        c1, c2 = encode(query.seq1), encode(query.seq2)
+        is_max = query.is_max
+
+    tables = build_tables(w, is_max)
+    mesh = make_mesh()  # global mesh across all hosts' devices
+    try:
+        res = search_sharded(c1, c2, tables, mesh, kernel=backend_kernel)
+    except NoMutationFound:
+        if is_primary():
+            from psa_tpu.core.alphabet import decode
+
+            write_output(output_path, decode(c2), -1,
+                         float("-inf") if is_max else float("inf"))
+        return 1
+    if is_primary():
+        from psa_tpu.core.alphabet import decode
+
+        write_output(output_path, res.mutant_from_codes(c2), res.offset, res.score)
+    return 0
