@@ -1,0 +1,43 @@
+"""Engine configuration.
+
+The reference hard-codes its knobs as #defines (def.h:4-48: thread count,
+file paths, size caps) plus one runtime flag.  Here everything is a dataclass
+with environment overrides, and the reference's hard size caps are gone —
+shapes are bucketed, not bounded (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # Pallas sweep kernel
+    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 512)   # offsets per grid program
+    chunk: int = 128                                        # seq2 chars per inner step (lane width)
+    max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 192 * 1024)
+
+    # padding buckets
+    bucket_floor: int = _env_int("PSA_BUCKET_FLOOR", 512)
+
+    # host selection
+    max_candidates: int = _env_int("PSA_MAX_CANDIDATES", 4096)
+
+    # defaults mirroring the reference CLI contract (def.h:20-21)
+    default_input: str = "./input.txt"
+    default_output: str = "./output.txt"
+
+    # backend resolution
+    default_backend: str = os.environ.get("PSA_BACKEND", "auto")
+
+
+CONFIG = EngineConfig()

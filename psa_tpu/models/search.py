@@ -43,7 +43,11 @@ class AlignmentSearchEngine:
     single-character mutation of seq2 aligned under seq1."""
 
     def __init__(self, weights: Sequence[float], is_max: bool,
-                 backend: str = "auto", strict_alphabet: bool = True):
+                 backend: str | None = None, strict_alphabet: bool = True):
+        if backend is None:
+            from psa_tpu.config import CONFIG
+
+            backend = CONFIG.default_backend
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; choose from {_BACKENDS}")
         self.tables: ScoringTables = build_tables(np.asarray(weights, np.float64), is_max)

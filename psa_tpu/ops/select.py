@@ -25,7 +25,9 @@ from psa_tpu.core.oracle import score_offset_sequential
 from psa_tpu.core.result import NoMutationFound, SearchResult
 from psa_tpu.core.tables import ScoringTables
 
-_MAX_CANDIDATES = 4096
+from psa_tpu.config import CONFIG
+
+_MAX_CANDIDATES = CONFIG.max_candidates
 
 
 def totals_from_stats(counts: np.ndarray, maxrank: np.ndarray,

@@ -23,10 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native mutant-alignment search "
                     "(best single-substitution alignment of Seq2 under Seq1)",
     )
-    p.add_argument("input", nargs="?", default="./input.txt",
+    from psa_tpu.config import CONFIG
+
+    p.add_argument("input", nargs="?", default=CONFIG.default_input,
                    help="input file: 4 weights, Seq1, Seq2, maximum|minimum "
                         "(default ./input.txt, like the reference def.h:20)")
-    p.add_argument("-o", "--output", default="./output.txt",
+    p.add_argument("-o", "--output", default=CONFIG.default_output,
                    help="output file (default ./output.txt)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "xla", "conv", "pallas", "native"],
@@ -40,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accept characters outside A-Z/'-' (treated as "
                         "score-0, non-substitutable, like the reference's "
                         "defined out-of-range behavior)")
+    p.add_argument("--print-table", action="store_true",
+                   help="print the 27x27 sign matrix (reference print_hash)")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
     return p
 
@@ -51,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     from psa_tpu.core.result import NoMutationFound
     from psa_tpu.models.search import AlignmentSearchEngine
     from psa_tpu.utils.io import read_input, write_output
+
+    if args.print_table:
+        from psa_tpu.utils.pretty import render_sign_table
+
+        print(render_sign_table())
 
     try:
         query = read_input(args.input)

@@ -69,3 +69,18 @@ def render(query, result: SearchResult, color: bool = True) -> str:
 def pretty_print(query, result: SearchResult, file=sys.stdout) -> None:
     color = hasattr(file, "isatty") and file.isatty()
     print(render(query, result, color=color), file=file)
+
+
+def render_sign_table() -> str:
+    """The 27x27 sign matrix (A-Z + '-'), like print_hash (cpu_funcs.c:322-349)
+    — without the reference's 26x26 overflow bug (SURVEY.md Q2)."""
+    from psa_tpu.core.alphabet import HYPHEN_CODE
+    from psa_tpu.core.tables import _SIGN
+
+    chars = [chr(ord("A") + i) for i in range(26)] + ["-"]
+    codes = list(range(26)) + [HYPHEN_CODE]
+    lines = ["   " + " ".join(chars), "   " + "_" * (2 * len(chars) - 1)]
+    for ci, c in zip(codes, chars):
+        row = " ".join(SIGN_CHARS[int(_SIGN[ci, cj])] for cj in codes)
+        lines.append(f"{c} |{row}")
+    return "\n".join(lines)

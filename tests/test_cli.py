@@ -57,12 +57,16 @@ def test_cli_no_mutation_path(tmp_path):
         select_best(counts, maxrank, t, np.zeros(10, np.int32), np.zeros(7, np.int32))
 
 
-def test_cli_explain_runs(tmp_path, capsys):
+def test_cli_explain_runs(tmp_path):
     seq1, seq2 = random_sequences(300, 80, seed=4)
     inp = tmp_path / "in.txt"
     write_input_file(str(inp), [1.0, 3.0, 4.0, 2.0], seq1, seq2, False)
-    rc = main([str(inp), "-o", str(tmp_path / "out.txt"),
-               "--backend", "numpy", "--explain", "--quiet"])
-    assert rc == 0
-    out = capsys.readouterr().out
-    assert "Original Score:" in out and "Mutation Score:" in out
+    r = subprocess.run(
+        [sys.executable, "-m", "psa_tpu.utils.cli", str(inp),
+         "-o", str(tmp_path / "out.txt"),
+         "--backend", "numpy", "--explain", "--print-table", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Original Score:" in r.stdout and "Mutation Score:" in r.stdout
+    assert "A |*" in r.stdout  # --print-table sign matrix

@@ -1,0 +1,92 @@
+"""Tests for rendering, generation, profiling, and config utilities."""
+
+import numpy as np
+import pytest
+
+from psa_tpu.core.alphabet import encode
+from psa_tpu.core.tables import build_tables
+from psa_tpu.models.search import AlignmentSearchEngine
+from psa_tpu.utils.generator import random_sequences, write_input_file
+from psa_tpu.utils.io import parse_input
+from psa_tpu.utils.pretty import render, render_sign_table, score_and_signs
+from psa_tpu.utils.profiling import Timer, pair_evals, throughput
+
+
+def test_sign_table_render_shape_and_rules():
+    out = render_sign_table()
+    lines = out.splitlines()
+    assert len(lines) == 2 + 27          # header, rule, 27 rows
+    rows = lines[2:]
+    assert rows[0].startswith("A |*")    # A vs A = '*'
+    assert rows[-1].startswith("- |")
+    # hyphen row: SPACE against all letters, '*' against itself
+    hyphen = rows[-1][3:].split(" ")
+    assert hyphen[:26] == ["_"] * 26 and hyphen[26] == "*"
+    # symmetric
+    mat = [r[3:].split(" ") for r in rows]
+    for i in range(27):
+        for j in range(27):
+            assert mat[i][j] == mat[j][i]
+
+
+def test_score_and_signs_consistent_with_result():
+    s1, s2 = random_sequences(400, 90, seed=8)
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    c1, c2 = encode(s1), encode(s2)
+    score, signs = score_and_signs(c1, c2, tables, 10)
+    assert len(signs) == 90
+    # score equals the sum implied by the sign string
+    w = {"*": 1.0, ":": -3.0, ".": -4.0, "_": -2.0}
+    assert score == sum(w[ch] for ch in signs)
+
+
+def test_render_explanation_scores_match_search():
+    s1, s2 = random_sequences(300, 60, seed=5)
+    q = parse_input("1 3 4 2 %s %s minimum" % (s1, s2))
+    res = AlignmentSearchEngine(q.weights, q.is_max, backend="numpy").search(s1, s2)
+    text = render(q, res, color=False)
+    assert ("Mutation Score: %g" % res.score) in text
+    assert "Minimum problem" in text
+
+
+def test_generator_reproducible_and_valid():
+    a1, a2 = random_sequences(100, 30, seed=7, hyphen_p=0.2)
+    b1, b2 = random_sequences(100, 30, seed=7, hyphen_p=0.2)
+    assert a1 == b1 and a2 == b2
+    assert "-" in a1 + a2
+    from psa_tpu.core.alphabet import validate
+
+    assert validate(a1) and validate(a2)
+
+
+def test_write_input_roundtrip(tmp_path):
+    s1, s2 = random_sequences(50, 20, seed=1)
+    p = tmp_path / "in.txt"
+    write_input_file(str(p), [1.5, 2, 3, 4], s1, s2, True)
+    q = parse_input(p.read_text())
+    assert q.seq1 == s1 and q.seq2 == s2 and q.is_max
+    assert list(q.weights) == [1.5, 2, 3, 4]
+
+
+def test_profiling_timer_and_metrics():
+    t = Timer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.phases["a"].calls == 2
+    assert "a" in t.report()
+    assert pair_evals(100, 30) == 71 * 30
+    assert throughput(100, 30, 0.5, chips=2) == 71 * 30 / 0.5 / 2
+
+
+def test_config_env_override(monkeypatch):
+    import importlib
+
+    monkeypatch.setenv("PSA_MAX_CANDIDATES", "7")
+    import psa_tpu.config as cfg
+
+    importlib.reload(cfg)
+    assert cfg.EngineConfig().max_candidates == 7
+    monkeypatch.delenv("PSA_MAX_CANDIDATES")
+    importlib.reload(cfg)
