@@ -29,7 +29,16 @@ def log(*a):
 
 
 def bench_sweep(engine: str, n1: int, n2: int, iters: int, seed: int = 0):
-    """Time the warm device sweep (stats kernel only, device-resident I/O)."""
+    """Time the warm device sweep.
+
+    Timing methodology: K sweeps are CHAINED inside one jitted fori_loop with
+    per-iteration input perturbation, and the result is materialized to the
+    host. Per-dispatch timing through the remote-TPU tunnel is unreliable
+    (async futures report ~0 and identical dispatches can be deduplicated);
+    chained-materialized timing matches physics.
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -47,36 +56,41 @@ def bench_sweep(engine: str, n1: int, n2: int, iters: int, seed: int = 0):
 
         noff_, noff_pad, l2p, l1k = ps.plan_shapes(n1, n2)
         interpret = jax.default_backend() != "tpu"
-        s1oh_t, pc = ps._prepare(jnp.asarray(c1), jnp.asarray(c2),
-                                 jnp.asarray(tables.code), l1k, l2p)
-        jax.block_until_ready((s1oh_t, pc))
+        a, b = ps._prepare(jnp.asarray(c1), jnp.asarray(c2),
+                           jnp.asarray(tables.code), l1k, l2p)
 
-        def run():
-            return ps._sweep_pallas(s1oh_t, pc, noff_pad, l2p // ps.CHUNK, interpret)
+        def one(aa, bb):
+            out = ps._sweep_pallas(aa, bb, noff_pad, l2p // ps.CHUNK, interpret)
+            return out[0, 0] + out[4, -1]
     elif engine == "conv":
         from psa_tpu.ops.common import pad_query
         from psa_tpu.ops.engine_conv import _sweep_conv
 
         c1p, c2p, _ = pad_query(c1, c2)
-        c1p, c2p = jnp.asarray(c1p), jnp.asarray(c2p)
+        a, b = jnp.asarray(c1p), jnp.asarray(c2p)
         code_tab = jnp.asarray(tables.code)
-        jax.block_until_ready((c1p, c2p))
 
-        def run():
-            return _sweep_conv(c1p, c2p, code_tab, tables.num_ranks)
+        def one(aa, bb):
+            counts, maxrank = _sweep_conv(aa, bb, code_tab, tables.num_ranks)
+            return counts[0, 0] + maxrank[-1]
     else:
         raise ValueError(engine)
 
-    t0 = time.perf_counter()
-    out = run()
-    jax.block_until_ready(out)
-    compile_and_first = time.perf_counter() - t0
-    log(f"[bench] {engine} first call (compile+run): {compile_and_first:.1f}s")
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(aa, bb, k):
+        def body(i, acc):
+            bb_i = jnp.roll(bb, i, axis=-1)  # defeat any dispatch dedup
+            return acc + one(aa, bb_i)
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
+    np.asarray(chained(a, b, iters))
+    compile_and_first = time.perf_counter() - t0
+    log(f"[bench] {engine} first chained call (compile+{iters} sweeps): "
+        f"{compile_and_first:.1f}s")
+
+    t0 = time.perf_counter()
+    np.asarray(chained(a, b, iters))
     dt = (time.perf_counter() - t0) / iters
 
     pair_evals = float(noff) * float(n2)
@@ -117,9 +131,9 @@ def main():
     log(f"[bench] backend={backend} devices={jax.devices()} engine={engine}")
 
     if args.quick:
-        n1, n2, iters = 16384, 2048, 5
+        n1, n2, iters = 16384, 2048, 8
     else:
-        n1, n2, iters = 131072, 8192, 10
+        n1, n2, iters = 131072, 8192, 16
 
     rate, dt, pair_evals = bench_sweep(engine, n1, n2, iters)
     golden_dt, golden_ok = bench_golden(engine)

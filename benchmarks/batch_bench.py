@@ -1,0 +1,99 @@
+"""Batch-mode throughput benchmark (BASELINE.json config 5).
+
+Streams B independent (Seq1, Seq2) queries through the batched Pallas path
+(lax.scan over sweeps, winners reduced in-graph — only (B,3) scalars leave the
+device) and reports queries/s and aggregate pair-evals/s.  A sample of winners
+is verified against the exact host oracle.
+
+Usage: python benchmarks/batch_bench.py [--batch 1000] [--n1 2048] [--n2 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1000)
+    ap.add_argument("--n1", type=int, default=2048)
+    ap.add_argument("--n2", type=int, default=512)
+    ap.add_argument("--verify", type=int, default=8,
+                    help="verify this many winners against the exact oracle")
+    args = ap.parse_args()
+
+    import jax
+
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import batched_pallas_winners
+    from psa_tpu.ops.common import round_up
+    from psa_tpu.ops.pallas_sweep import CHUNK, TILE_O
+    from psa_tpu.utils.generator import random_sequences
+    from psa_tpu.core.alphabet import encode
+
+    B, n1, n2 = args.batch, args.n1, args.n2
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+
+    l2p = round_up(max(n2, CHUNK), CHUNK)
+    noff_pad = round_up(n1 - n2 + 1, TILE_O)
+    l1k = noff_pad + l2p
+
+    rng_seqs = [random_sequences(n1, n2, seed=s) for s in range(B)]
+    c1b = np.stack([pad_codes(encode(a), l1k) for a, _ in rng_seqs])
+    c2b = np.stack([pad_codes(encode(b), l2p) for _, b in rng_seqs])
+    noffs = np.full(B, n1 - n2 + 1, np.int32)
+    log(f"[batch] B={B} n1={n1} n2={n2} (noff_pad={noff_pad}, l2p={l2p})")
+
+    t0 = time.perf_counter()
+    res = batched_pallas_winners(c1b, c2b, noffs, tables)
+    offsets = np.asarray(res[0])
+    first = time.perf_counter() - t0
+    log(f"[batch] first call (compile+run): {first:.1f}s")
+
+    t0 = time.perf_counter()
+    res = batched_pallas_winners(c1b, c2b, noffs, tables)
+    offsets, maxranks, totals = (np.asarray(x) for x in res)
+    dt = time.perf_counter() - t0
+
+    # verify a sample against the exact oracle
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.ops.select import select_best
+
+    bad = 0
+    idxs = np.linspace(0, B - 1, min(args.verify, B)).astype(int)
+    for q in idxs:
+        counts, maxrank = offset_stats_numpy(c1b[q][: n1], c2b[q][: n2], tables)
+        ref = select_best(counts, maxrank, tables, c1b[q][: n1], c2b[q][: n2])
+        if int(offsets[q]) != ref.offset:
+            bad += 1
+            log(f"[batch] MISMATCH q={q}: got {int(offsets[q])} want {ref.offset}")
+    pair_evals = float(B) * (n1 - n2 + 1) * n2
+    out = {
+        "metric": "batch_queries_per_sec",
+        "value": B / dt,
+        "unit": "queries/s",
+        "detail": {
+            "batch": B, "n1": n1, "n2": n2,
+            "seconds": dt,
+            "pair_evals_per_sec": pair_evals / dt,
+            "verified": int(len(idxs) - bad), "mismatches": int(bad),
+        },
+    }
+    log(f"[batch] {B} queries in {dt:.3f}s -> {B/dt:.1f} q/s, "
+        f"{pair_evals/dt:.3g} pair-evals/s, verified {len(idxs)-bad}/{len(idxs)}")
+    print(json.dumps(out))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""Offset-sharding scaling harness (BASELINE.json configs 3-4).
+
+Measures the sharded sweep across mesh sizes.  On real multi-chip hardware
+this reports true scaling efficiency; on a single host it can still run the
+virtual-CPU-mesh ladder to validate the sharded program at every mesh size
+(numbers then reflect core contention, not chip scaling — flagged in output).
+
+Usage: python benchmarks/scaling.py [--n1 100000] [--n2 10000]
+       [--devices 1,2,4,8] [--platform cpu|tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n1", type=int, default=100_000)
+    ap.add_argument("--n2", type=int, default=10_000)
+    ap.add_argument("--devices", default=None,
+                    help="comma list of mesh sizes (default: 1..device_count)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+
+    from psa_tpu.core.alphabet import encode
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.parallel.mesh import make_mesh, pad_for_mesh, sharded_offset_stats
+    from psa_tpu.utils.generator import random_sequences
+
+    ndev = jax.device_count()
+    sizes = ([int(x) for x in args.devices.split(",")] if args.devices
+             else [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev])
+    n1, n2 = args.n1, args.n2
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    seq1, seq2 = random_sequences(n1, n2, seed=0)
+    c1, c2 = encode(seq1), encode(seq2)
+    pair_evals = float(n1 - n2 + 1) * n2
+    platform = jax.devices()[0].platform
+    log(f"[scaling] platform={platform} devices={ndev} workload {n1}x{n2} "
+        f"({pair_evals:.3g} pair-evals)")
+
+    results = []
+    base_rate = None
+    for d in sizes:
+        mesh = make_mesh(jax.devices()[:d])
+        c1p, c2p, noff = pad_for_mesh(c1, c2, d)
+        a, b = jnp.asarray(c1p), jnp.asarray(c2p)
+
+        def run():
+            return sharded_offset_stats(a, b, tables, mesh)
+
+        t0 = time.perf_counter()
+        stats = run()
+        first = np.asarray(stats[0, 0])  # materialize
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            stats = run()
+        np.asarray(stats[0, 0])
+        dt = (time.perf_counter() - t0) / args.iters
+        rate = pair_evals / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * d / sizes[0])
+        results.append({"devices": d, "seconds": dt, "pair_evals_per_sec": rate,
+                        "scaling_efficiency": eff})
+        log(f"[scaling] {d} dev: {dt*1e3:8.1f} ms/sweep  {rate:.3g} evals/s  "
+            f"eff={eff:.2f} (first call {t_first:.1f}s)")
+
+    print(json.dumps({
+        "metric": "offset_sharding_scaling",
+        "platform": platform,
+        "virtual_mesh": platform == "cpu",
+        "workload": {"n1": n1, "n2": n2},
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,58 @@ def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
     return best, maxrank[bi, best], total[bi, best]
 
 
+def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
+                           interpret: bool | None = None):
+    """Single-chip batched throughput path: scan the Pallas sweep over B
+    queries (each sweep saturates the chip; no host round-trips between
+    queries) and reduce each to its winner triple in-graph.
+
+    c1b: (B, L1K) int32 codes padded so L1K = noff_pad + L2P with
+    noff_pad = L1K - L2P a multiple of TILE_O; c2b: (B, L2P).
+    Returns (offsets (B,), maxranks (B,), totals_f32 (B,)).
+    """
+    import functools
+
+    import jax
+
+    from psa_tpu.core.alphabet import NCODES_PAD
+    from psa_tpu.ops.pallas_sweep import CHUNK, TILE_O, _sweep_pallas
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    l1k, l2p = c1b.shape[1], c2b.shape[1]
+    noff_pad = l1k - l2p
+    assert noff_pad % TILE_O == 0 and l2p % CHUNK == 0
+
+    w = jnp.asarray(tables.w_signed.astype(np.float32))
+    diff_vals = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
+    )
+    sign = 1.0 if tables.is_max else -1.0
+    code_tab = jnp.asarray(tables.code)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(c1b, c2b, noffs):
+        def step(carry, q):
+            c1, c2, noff = q
+            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.bfloat16, axis=0)
+            pc = code_tab.astype(jnp.bfloat16)[:, c2]
+            out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
+            counts = out[:4, :].T.astype(jnp.float32)
+            maxrank = out[4, :]
+            total = counts @ w + diff_vals[jnp.clip(maxrank, 0, None)]
+            offs = jnp.arange(noff_pad, dtype=jnp.int32)
+            valid = (maxrank >= 0) & (offs < noff)
+            keyed = jnp.where(valid, sign * total, -jnp.inf)
+            best = jnp.argmax(keyed)
+            return carry, (best, maxrank[best], total[best])
+
+        _, res = jax.lax.scan(step, 0, (c1b, c2b, noffs))
+        return res
+
+    return run(jnp.asarray(c1b), jnp.asarray(c2b), jnp.asarray(noffs))
+
+
 def batched_search_step(tables: ScoringTables, mesh: Mesh, block: int = 512):
     """Returns a jittable step: (c1b, c2b, noffs) -> (offsets, maxranks, totals)."""
 
