@@ -122,7 +122,12 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     sign = 1.0 if tables.is_max else -1.0
     code_tab = jnp.asarray(tables.code)
 
-    @functools.partial(jax.jit, static_argnames=())
+    # NOTE: a packed (query, tile)-grid variant (_sweep_pallas_batched) was
+    # measured SLOWER on chip than this scan (273 vs 503 q/s at B=1000,
+    # 2048x512): the 3-D blocked operands stall the pipeline and the
+    # materialized (B, 32, L1K) one-hot costs ~164MB of HBM traffic. The scan
+    # builds each query's one-hot on the fly and keeps the sweep 2-D.
+    @jax.jit
     def run(c1b, c2b, noffs):
         def step(carry, q):
             c1, c2, noff = q

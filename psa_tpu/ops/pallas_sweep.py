@@ -42,12 +42,12 @@ CHUNK = 128           # seq2 positions per inner step (= lane width)
 MAX_L1_VMEM = 192 * 1024
 
 
-def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int):
+def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
+                       tile_idx):
     """Transposed layout: the band matrix lives as (C, TO+C) so the shear is
     LANE rotations (cheap on the VPU's lane shifter) and the reductions are
     sublane reductions — measured 3.3x faster than the row-sheared variant."""
-    i = pl.program_id(0)
-    o0 = i * TILE_O
+    o0 = tile_idx * TILE_O
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     acc_ref[4:5, :] = jnp.full((1, TILE_O), -1, jnp.int32)
@@ -88,6 +88,11 @@ def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int):
 
     jax.lax.fori_loop(0, nchunks, body, 0)
     out_ref[...] = acc_ref[...]
+
+
+def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int):
+    _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, nchunks=nchunks,
+                       tile_idx=pl.program_id(0))
 
 
 @functools.partial(jax.jit, static_argnames=("noff_pad", "nchunks", "interpret"))
