@@ -22,7 +22,7 @@ def _env_int(name: str, default: int) -> int:
 @dataclasses.dataclass
 class EngineConfig:
     # Pallas sweep kernel
-    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 512)   # offsets per grid program
+    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 2048)  # max offsets per grid program
     chunk: int = 128                                        # seq2 chars per inner step (lane width)
     max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 192 * 1024)
 

@@ -34,8 +34,29 @@ from psa_tpu.core.alphabet import NCODES_PAD
 from psa_tpu.core.tables import ScoringTables
 from psa_tpu.ops.common import round_up
 
-TILE_O = 512          # offsets per grid program
-CHUNK = 128           # seq2 positions per inner step (= lane width)
+from psa_tpu.config import CONFIG
+
+TILE_O = CONFIG.tile_offsets   # default offsets per grid program (PSA_TILE_OFFSETS)
+CHUNK = 128                    # seq2 positions per inner step (= lane width)
+
+
+def pick_tile(noff_like: int) -> int:
+    """Largest tile <= TILE_O dividing a 512-aligned extent (bigger tiles
+    amortize the window overlap: 15.2/17.0/21.6 ms per 1e9-pair sweep at
+    2048/1024/512 on v5e)."""
+    t = TILE_O
+    while t > 512 and noff_like % t != 0:
+        t //= 2
+    return max(t, 512)
+
+
+def size_tile(noff: int) -> int:
+    """Tile for a fresh padding decision: big tiles only when the padding
+    waste stays small."""
+    t = TILE_O
+    while t > 512 and noff < 4 * t:
+        t //= 2
+    return max(t, 512)
 # Max Seq1 one-hot footprint kept VMEM-resident (bf16): 32 * L1K * 2 bytes.
 # Beyond this, shard the offset axis (parallel/mesh.py) so each shard's slice
 # fits.
@@ -43,20 +64,20 @@ MAX_L1_VMEM = 192 * 1024
 
 
 def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
-                       tile_idx):
+                       tile_idx, tile_o: int):
     """Transposed layout: the band matrix lives as (C, TO+C) so the shear is
     LANE rotations (cheap on the VPU's lane shifter) and the reductions are
     sublane reductions — measured 3.3x faster than the row-sheared variant."""
-    o0 = tile_idx * TILE_O
+    o0 = tile_idx * tile_o
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    acc_ref[4:5, :] = jnp.full((1, TILE_O), -1, jnp.int32)
+    acc_ref[4:5, :] = jnp.full((1, tile_o), -1, jnp.int32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_O + CHUNK), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_o + CHUNK), 0)
 
     def body(c, _):
         base = pl.multiple_of(o0 + c * CHUNK, CHUNK)
-        win = s1oh_ref[:, pl.ds(base, TILE_O + CHUNK)]      # (32, TO+C) bf16
+        win = s1oh_ref[:, pl.ds(base, tile_o + CHUNK)]      # (32, TO+C) bf16
         pcc = pc_ref[:, pl.ds(c * CHUNK, CHUNK)]            # (32, C) bf16
         m = jax.lax.dot_general(
             pcc, win,
@@ -69,9 +90,9 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
         b = 1
         while b < CHUNK:
             m = jnp.where((row & b) != 0,
-                          pltpu.roll(m, TILE_O + CHUNK - b, 1), m)
+                          pltpu.roll(m, tile_o + CHUNK - b, 1), m)
             b *= 2
-        d = m[:, :TILE_O].astype(jnp.int32)                  # (C, TO) fused codes
+        d = m[:, :tile_o].astype(jnp.int32)                  # (C, TO) fused codes
 
         valid = d > 0
         v = d - 1
@@ -90,17 +111,22 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
     out_ref[...] = acc_ref[...]
 
 
-def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int):
+def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
+                  tile_o: int):
     _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, nchunks=nchunks,
-                       tile_idx=pl.program_id(0))
+                       tile_idx=pl.program_id(0), tile_o=tile_o)
 
 
-@functools.partial(jax.jit, static_argnames=("noff_pad", "nchunks", "interpret"))
-def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("noff_pad", "nchunks", "interpret", "tile_o"))
+def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
+                  tile_o: int | None = None):
     """Returns (8, noff_pad) int32: rows 0-3 = sign-class counts, row 4 =
     max substitution rank (-1 none), rows 5-7 reserved."""
-    ntiles = noff_pad // TILE_O
-    kernel = functools.partial(_sweep_kernel, nchunks=nchunks)
+    if tile_o is None:
+        tile_o = pick_tile(noff_pad)
+    ntiles = noff_pad // tile_o
+    kernel = functools.partial(_sweep_kernel, nchunks=nchunks, tile_o=tile_o)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -108,10 +134,10 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full s1 one-hot resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full pair-code columns
         ],
-        out_specs=pl.BlockSpec((8, TILE_O), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile_o), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, noff_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, TILE_O), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8, tile_o), jnp.int32)],
         interpret=interpret,
     )(s1oh_t, pc)
 
@@ -134,9 +160,9 @@ def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
     """Shard-local sweep for shard_map bodies -> (per_shard, 5) int32.
 
     c1_local: (per_shard + l2p,) int32 codes; c2p: (l2p,) int32 codes.
-    per_shard must be a multiple of TILE_O; l2p a multiple of CHUNK.
+    per_shard must be a multiple of 512; l2p a multiple of CHUNK.
     """
-    assert per_shard % TILE_O == 0 and l2p % CHUNK == 0
+    assert per_shard % 512 == 0 and l2p % CHUNK == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s1oh_t = jax.nn.one_hot(c1_local, NCODES_PAD, dtype=jnp.bfloat16, axis=0)
@@ -149,7 +175,7 @@ def plan_shapes(n1: int, n2: int):
     """Static padded shapes for a (n1, n2) problem."""
     noff = n1 - n2 + 1
     l2p = round_up(max(n2, CHUNK), CHUNK)
-    noff_pad = round_up(noff, TILE_O)
+    noff_pad = round_up(noff, size_tile(noff))
     l1k = noff_pad + l2p
     return noff, noff_pad, l2p, l1k
 

@@ -100,13 +100,17 @@ def sharded_offset_stats(codes1p: jnp.ndarray, codes2p: jnp.ndarray,
 
 
 def pad_for_mesh(codes1: np.ndarray, codes2: np.ndarray, n_shards: int,
-                 block: int = 512):
+                 block: int | None = None):
     """Pad sequences so the offset axis splits into n_shards * block tiles."""
     from psa_tpu.core.alphabet import pad_codes
     from psa_tpu.ops.common import round_up
 
     n1, n2 = codes1.shape[0], codes2.shape[0]
     noff = n1 - n2 + 1
+    if block is None:
+        from psa_tpu.ops.pallas_sweep import size_tile
+
+        block = size_tile(max(noff // n_shards, 1))
     l2p = round_up(max(n2, 128), 128)
     noff_pad = round_up(noff, n_shards * block)
     l1p = noff_pad + l2p

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "defined out-of-range behavior)")
     p.add_argument("--print-table", action="store_true",
                    help="print the 27x27 sign matrix (reference print_hash)")
+    p.add_argument("--trace", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler device trace into LOGDIR")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
     return p
 
@@ -73,18 +75,24 @@ def main(argv: list[str] | None = None) -> int:
                                    backend=args.backend,
                                    strict_alphabet=not args.lenient)
 
+    import contextlib
+
+    from psa_tpu.utils.profiling import trace
+
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     t0 = time.perf_counter()
     try:
-        if args.sharded:
-            from psa_tpu.parallel.mesh import search_sharded
+        with tracer:
+            if args.sharded:
+                from psa_tpu.parallel.mesh import search_sharded
 
-            kernel = "auto" if args.backend == "auto" else args.backend
-            if kernel not in ("auto", "pallas", "xla"):
-                kernel = "xla"
-            res = search_sharded(encode(query.seq1), encode(query.seq2),
-                                 engine.tables, kernel=kernel)
-        else:
-            res = engine.search(query.seq1, query.seq2)
+                kernel = "auto" if args.backend == "auto" else args.backend
+                if kernel not in ("auto", "pallas", "xla"):
+                    kernel = "xla"
+                res = search_sharded(encode(query.seq1), encode(query.seq2),
+                                     engine.tables, kernel=kernel)
+            else:
+                res = engine.search(query.seq1, query.seq2)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

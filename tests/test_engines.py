@@ -84,6 +84,26 @@ def test_degenerate_shapes(engine):
 
 
 @pytest.mark.parametrize("engine", ENGINES)
+def test_lenient_other_chars(engine):
+    """Out-of-alphabet codes (OTHER_CODE) must weigh 0 and never substitute,
+    in every engine — the reference's defined out-of-range behavior
+    (cuda_funcs.cu:428-429, 451)."""
+    from psa_tpu.core.alphabet import OTHER_CODE
+
+    rng = np.random.default_rng(77)
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    fn = stats_fn(engine, tables)
+    c1 = random_codes(rng, 500)
+    c2 = random_codes(rng, 120)
+    c1[::7] = OTHER_CODE
+    c2[::11] = OTHER_CODE
+    counts, maxrank = fn(c1, c2)
+    counts_ref, maxrank_ref = offset_stats_numpy(c1, c2, tables)
+    np.testing.assert_array_equal(counts, counts_ref)
+    np.testing.assert_array_equal(maxrank, maxrank_ref)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
 def test_golden_through_engine(engine, golden_query, golden_expected):
     from psa_tpu.utils.io import format_output
 
