@@ -37,7 +37,7 @@ def main():
     from psa_tpu.core.tables import build_tables
     from psa_tpu.models.batch import batched_pallas_winners
     from psa_tpu.ops.common import round_up
-    from psa_tpu.ops.pallas_sweep import CHUNK, TILE_O
+    from psa_tpu.ops.pallas_sweep import CHUNK, size_tile
     from psa_tpu.utils.generator import random_sequences
     from psa_tpu.core.alphabet import encode
 
@@ -45,7 +45,7 @@ def main():
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
 
     l2p = round_up(max(n2, CHUNK), CHUNK)
-    noff_pad = round_up(n1 - n2 + 1, TILE_O)
+    noff_pad = round_up(n1 - n2 + 1, size_tile(n1 - n2 + 1))
     l1k = noff_pad + l2p
 
     rng_seqs = [random_sequences(n1, n2, seed=s) for s in range(B)]

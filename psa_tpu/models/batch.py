@@ -107,13 +107,13 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     import jax
 
     from psa_tpu.core.alphabet import NCODES_PAD
-    from psa_tpu.ops.pallas_sweep import CHUNK, TILE_O, _sweep_pallas
+    from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     l1k, l2p = c1b.shape[1], c2b.shape[1]
     noff_pad = l1k - l2p
-    assert noff_pad % TILE_O == 0 and l2p % CHUNK == 0
+    assert noff_pad % 512 == 0 and l2p % CHUNK == 0
 
     w = jnp.asarray(tables.w_signed.astype(np.float32))
     diff_vals = jnp.asarray(
@@ -131,8 +131,8 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     def run(c1b, c2b, noffs):
         def step(carry, q):
             c1, c2, noff = q
-            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.bfloat16, axis=0)
-            pc = code_tab.astype(jnp.bfloat16)[:, c2]
+            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
+            pc = code_tab.astype(jnp.int8)[:, c2]
             out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
             counts = out[:4, :].T.astype(jnp.float32)
             maxrank = out[4, :]
