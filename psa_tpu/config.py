@@ -24,7 +24,7 @@ class EngineConfig:
     # Pallas sweep kernel
     tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 2048)  # max offsets per grid program
     chunk: int = 128                                        # seq2 chars per inner step (lane width)
-    max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 192 * 1024)
+    max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 256 * 1024)
 
     # padding buckets
     bucket_floor: int = _env_int("PSA_BUCKET_FLOOR", 512)

@@ -9,8 +9,6 @@ The winner reduction stays in-graph so only (B, 3) scalars leave the device.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,8 +100,6 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     noff_pad = L1K - L2P a multiple of TILE_O; c2b: (B, L2P).
     Returns (offsets (B,), maxranks (B,), totals_f32 (B,)).
     """
-    import functools
-
     import jax
 
     from psa_tpu.core.alphabet import NCODES_PAD

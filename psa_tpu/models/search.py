@@ -43,7 +43,8 @@ class AlignmentSearchEngine:
     single-character mutation of seq2 aligned under seq1."""
 
     def __init__(self, weights: Sequence[float], is_max: bool,
-                 backend: str | None = None, strict_alphabet: bool = True):
+                 backend: str | None = None, strict_alphabet: bool = True,
+                 nthreads: int = 0):
         if backend is None:
             from psa_tpu.config import CONFIG
 
@@ -53,7 +54,9 @@ class AlignmentSearchEngine:
         self.tables: ScoringTables = build_tables(np.asarray(weights, np.float64), is_max)
         self.backend = backend
         self.strict_alphabet = strict_alphabet
-        self._stats_fn = None
+        # native-engine thread count; 0 = all cores, 1 = the reference's
+        # sequential oracle mode (`make runseq`, SURVEY.md §3.5)
+        self.nthreads = nthreads
 
     def _resolve_backend(self) -> str:
         if self.backend == "auto":
@@ -93,7 +96,8 @@ class AlignmentSearchEngine:
             # directly — no separate selection pass needed
             from psa_tpu.native import search_native
 
-            return search_native(codes1, codes2, self.tables)
+            return search_native(codes1, codes2, self.tables,
+                                 nthreads=self.nthreads)
         counts, maxrank = self.offset_stats(codes1, codes2)
         noff = codes1.shape[0] - codes2.shape[0] + 1
         return select_best(np.asarray(counts), np.asarray(maxrank),

@@ -26,9 +26,13 @@ def bucket_len(n: int, floor: int = 512, multiple: int = LANE) -> int:
 
 
 def pad_query(codes1: np.ndarray, codes2: np.ndarray,
-              floor: int = 512) -> tuple[np.ndarray, np.ndarray, int]:
+              floor: int | None = None) -> tuple[np.ndarray, np.ndarray, int]:
     """Pad both sequences to bucketed lengths; returns (c1p, c2p, noff)."""
+    from psa_tpu.config import CONFIG
     from psa_tpu.core.alphabet import pad_codes
+
+    if floor is None:
+        floor = CONFIG.bucket_floor
 
     n1, n2 = codes1.shape[0], codes2.shape[0]
     noff = n1 - n2 + 1

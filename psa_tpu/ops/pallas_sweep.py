@@ -57,10 +57,10 @@ def size_tile(noff: int) -> int:
     while t > 512 and noff < 4 * t:
         t //= 2
     return max(t, 512)
-# Max Seq1 one-hot footprint kept VMEM-resident (bf16): 32 * L1K * 2 bytes.
+# Max Seq1 one-hot footprint kept VMEM-resident (int8: 32 * L1K bytes).
 # Beyond this, shard the offset axis (parallel/mesh.py) so each shard's slice
-# fits.
-MAX_L1_VMEM = 192 * 1024
+# fits. Overridable via PSA_MAX_L1_VMEM.
+MAX_L1_VMEM = CONFIG.max_l1_vmem
 
 
 def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,

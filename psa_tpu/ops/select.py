@@ -28,6 +28,21 @@ from psa_tpu.core.tables import ScoringTables
 from psa_tpu.config import CONFIG
 
 _MAX_CANDIDATES = CONFIG.max_candidates
+_rescorer = None
+
+
+def _rescore(codes1, codes2, tables, offset):
+    """Sequential reference-order re-scorer: native C++ when buildable,
+    pure-Python transcription otherwise."""
+    global _rescorer
+    if _rescorer is None:
+        try:
+            from psa_tpu.native import score_offset_native
+
+            _rescorer = score_offset_native
+        except Exception:  # no toolchain: fall back to the Python oracle
+            _rescorer = score_offset_sequential
+    return _rescorer(codes1, codes2, tables, offset)
 
 
 def totals_from_stats(counts: np.ndarray, maxrank: np.ndarray,
@@ -71,7 +86,7 @@ def select_best(counts: np.ndarray, maxrank: np.ndarray, tables: ScoringTables,
     best_total = None
     winner = None
     for o in cand.tolist():
-        total, char_off, sub_code, _ = score_offset_sequential(codes1, codes2, tables, o)
+        total, char_off, sub_code, _ = _rescore(codes1, codes2, tables, o)
         if char_off < 0:
             continue
         if best_total is None or (

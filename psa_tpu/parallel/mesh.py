@@ -20,13 +20,11 @@ the last) and its MAXLOC/Allreduce + Send/Recv merge (cpu_funcs.c:64-94):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from psa_tpu.core.tables import ScoringTables
 from psa_tpu.ops.common import round_up

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "defined out-of-range behavior)")
     p.add_argument("--print-table", action="store_true",
                    help="print the 27x27 sign matrix (reference print_hash)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="native-backend thread count (1 = the reference's "
+                        "sequential `runseq` oracle mode; 0 = all cores)")
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler device trace into LOGDIR")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
@@ -73,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     engine = AlignmentSearchEngine(query.weights, query.is_max,
                                    backend=args.backend,
-                                   strict_alphabet=not args.lenient)
+                                   strict_alphabet=not args.lenient,
+                                   nthreads=args.threads)
 
     import contextlib
 
