@@ -69,15 +69,20 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
     LANE rotations (cheap on the VPU's lane shifter) and the reductions are
     sublane reductions — measured 3.3x faster than the row-sheared variant."""
     o0 = tile_idx * tile_o
+    width = tile_o + CHUNK
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     acc_ref[4:5, :] = jnp.full((1, tile_o), -1, jnp.int32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_o + CHUNK), 0)
+    # Packed-row shear: codes fit in int8, and bitcasting (C, W) int8 ->
+    # (C/4, W) int32 packs row 4s+b into byte b of packed row s (verified on
+    # hardware AND in interpret mode). Rolling 4 rows at once quarters the
+    # shear traffic (the sweep's dominant cost: 9.4ms of 13.8 unpacked).
+    srow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK // 4, width), 0)
 
     def body(c, _):
         base = pl.multiple_of(o0 + c * CHUNK, CHUNK)
-        win = s1oh_ref[:, pl.ds(base, tile_o + CHUNK)]      # (32, TO+C) int8
+        win = s1oh_ref[:, pl.ds(base, width)]               # (32, TO+C) int8
         pcc = pc_ref[:, pl.ds(c * CHUNK, CHUNK)]            # (32, C) int8
         # int8 x int8 -> int32 MXU contraction; exact (one-hot: exactly one
         # nonzero product per output) and measured faster than bf16->f32.
@@ -86,38 +91,47 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                                    # (C, TO+C)
-        # Shear: D[ii, oo] = M[ii, oo + ii] — shift lanes left by the row
-        # index via log-step masked rolls (roll left by b == roll right by
-        # width - b; pltpu.roll wants non-negative shifts).
+        p = pltpu.bitcast(m.astype(jnp.int8), jnp.int32)     # (C/4, TO+C)
+        # Shear step A: shift lanes left by 4*s via log-step masked rolls
+        # (roll left by k == roll right by width - k; pltpu.roll wants
+        # non-negative shifts).
         b = 1
-        while b < CHUNK:
-            m = jnp.where((row & b) != 0,
-                          pltpu.roll(m, tile_o + CHUNK - b, 1), m)
+        while b < CHUNK // 4:
+            p = jnp.where((srow & b) != 0,
+                          pltpu.roll(p, width - 4 * b, 1), p)
             b *= 2
-        d = m[:, :tile_o]                                    # (C, TO) fused codes
+        # Shear step B: byte b needs an extra left shift of b lanes.
+        r1 = pltpu.roll(p, width - 1, 1)
+        r2 = pltpu.roll(p, width - 2, 1)
+        r3 = pltpu.roll(p, width - 3, 1)
+        d4 = ((p & 0xFF) | (r1 & 0xFF00) | (r2 & 0xFF0000)
+              | (r3 & np.int32(-16777216)))                  # (C/4, TO+C)
+        d4 = d4[:, :tile_o]                                  # 4 packed code planes
 
-        # Packed-field class counting: code = 1 + cls + 4*(rank+1), so
-        # (d & 3) maps cls0/1/2 -> 1/2/3 and {cls3, inert} -> 0.  Summing
-        # 1 << 8*(d & 3) packs three per-chunk class counts (each <= 128)
-        # into one int32; cls3 falls out of the valid count.  Wraparound at
-        # the top field is harmless: fields can't carry into each other.
-        t = d & 3
-        contrib = jnp.where(t > 0, jnp.left_shift(jnp.int32(1), t << 3), 0)
-        packed = jnp.sum(contrib, axis=0, keepdims=True)     # (1, TO)
-        validc = jnp.sum((d > 0).astype(jnp.int32), axis=0, keepdims=True)
-        c0 = (packed >> 8) & 0xFF
-        c1 = (packed >> 16) & 0xFF
-        c2 = (packed >> 24) & 0xFF
-        acc_ref[0:1, :] += c0
-        acc_ref[1:2, :] += c1
-        acc_ref[2:3, :] += c2
-        acc_ref[3:4, :] += validc - c0 - c1 - c2
-        # rank: ((d-1) >> 2) - 1 is the substitution rank for valid codes and
-        # <= -2 for inert ones, so no masking is needed before the max.
-        rank = ((d - 1) >> 2) - 1
-        acc_ref[4:5, :] = jnp.maximum(
-            acc_ref[4:5, :], jnp.max(rank, axis=0, keepdims=True)
-        )
+        # Packed-field class counting per byte plane: code = 1 + cls +
+        # 4*(rank+1), so (d & 3) maps cls0/1/2 -> 1/2/3 and {cls3, inert}
+        # -> 0.  Summing 1 << 8*(d & 3) packs three per-chunk class counts
+        # (each <= 128) into one int32; cls3 falls out of the valid count.
+        # Wraparound at the top field is harmless: fields can't carry.
+        for k in range(4):
+            d = jax.lax.shift_right_logical(d4, 8 * k) & 0xFF  # (C/4, TO)
+            t = d & 3
+            contrib = jnp.where(t > 0, jnp.left_shift(jnp.int32(1), t << 3), 0)
+            packed = jnp.sum(contrib, axis=0, keepdims=True)   # (1, TO)
+            validc = jnp.sum((d > 0).astype(jnp.int32), axis=0, keepdims=True)
+            c0 = (packed >> 8) & 0xFF
+            c1 = (packed >> 16) & 0xFF
+            c2 = (packed >> 24) & 0xFF
+            acc_ref[0:1, :] += c0
+            acc_ref[1:2, :] += c1
+            acc_ref[2:3, :] += c2
+            acc_ref[3:4, :] += validc - c0 - c1 - c2
+            # rank: ((d-1) >> 2) - 1 is the substitution rank for valid codes
+            # and <= -2 for inert ones, so no masking before the max.
+            rank = ((d - 1) >> 2) - 1
+            acc_ref[4:5, :] = jnp.maximum(
+                acc_ref[4:5, :], jnp.max(rank, axis=0, keepdims=True)
+            )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
