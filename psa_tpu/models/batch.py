@@ -103,7 +103,7 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     import jax
 
     from psa_tpu.core.alphabet import NCODES_PAD
-    from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas
+    from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas, maxrank_from_maxcode
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -131,7 +131,7 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
             pc = code_tab.astype(jnp.int8)[:, c2]
             out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
             counts = out[:4, :].T.astype(jnp.float32)
-            maxrank = out[4, :]
+            maxrank = maxrank_from_maxcode(out[4, :])
             total = counts @ w + diff_vals[jnp.clip(maxrank, 0, None)]
             offs = jnp.arange(noff_pad, dtype=jnp.int32)
             valid = (maxrank >= 0) & (offs < noff)

@@ -72,7 +72,6 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
     width = tile_o + CHUNK
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    acc_ref[4:5, :] = jnp.full((1, tile_o), -1, jnp.int32)
 
     # Packed-row shear: codes fit in int8, and bitcasting (C, W) int8 ->
     # (C/4, W) int32 packs row 4s+b into byte b of packed row s (verified on
@@ -126,11 +125,11 @@ def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
             acc_ref[1:2, :] += c1
             acc_ref[2:3, :] += c2
             acc_ref[3:4, :] += validc - c0 - c1 - c2
-            # rank: ((d-1) >> 2) - 1 is the substitution rank for valid codes
-            # and <= -2 for inert ones, so no masking before the max.
-            rank = ((d - 1) >> 2) - 1
+            # code = 1 + cls + 4*(rank+1) is monotone in rank (cls < 4), so
+            # tracking max CODE is cheaper than decoding ranks per plane;
+            # wrappers convert via rank = max(((maxcode-1) >> 2) - 1, -1).
             acc_ref[4:5, :] = jnp.maximum(
-                acc_ref[4:5, :], jnp.max(rank, axis=0, keepdims=True)
+                acc_ref[4:5, :], jnp.max(d, axis=0, keepdims=True)
             )
         return 0
 
@@ -149,7 +148,8 @@ def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
 def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
                   tile_o: int | None = None):
     """Returns (8, noff_pad) int32: rows 0-3 = sign-class counts, row 4 =
-    max substitution rank (-1 none), rows 5-7 reserved."""
+    max fused CODE (0 = no substitution anywhere; convert to a rank with
+    `maxrank_from_maxcode`), rows 5-7 reserved."""
     if tile_o is None:
         tile_o = pick_tile(noff_pad)
     ntiles = noff_pad // tile_o
@@ -181,6 +181,13 @@ def _prepare(codes1p, codes2p, code_tab, l1k: int, l2p: int):
     return s1oh_t, pc
 
 
+def maxrank_from_maxcode(maxcode):
+    """rank = ((code-1) >> 2) - 1, clamped to -1 for 'no substitution'."""
+    if isinstance(maxcode, np.ndarray):
+        return np.maximum(((maxcode - 1) >> 2) - 1, -1)
+    return jnp.maximum(((maxcode - 1) >> 2) - 1, -1)
+
+
 def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
                        code_tab: jnp.ndarray, per_shard: int, l2p: int,
                        interpret: bool | None = None):
@@ -195,7 +202,8 @@ def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
     s1oh_t = jax.nn.one_hot(c1_local, NCODES_PAD, dtype=jnp.int8, axis=0)
     pc = code_tab.astype(jnp.int8)[:, c2p]
     out = _sweep_pallas(s1oh_t, pc, per_shard, l2p // CHUNK, bool(interpret))
-    return out[:5, :].T
+    maxrank = maxrank_from_maxcode(out[4:5, :])
+    return jnp.concatenate([out[:4, :], maxrank], axis=0).T
 
 
 def plan_shapes(n1: int, n2: int):
@@ -224,4 +232,4 @@ def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
                           jnp.asarray(tables.code), l1k, l2p)
     out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, bool(interpret))
     out = np.asarray(out)
-    return out[:4, :noff].T.copy(), out[4, :noff]
+    return out[:4, :noff].T.copy(), maxrank_from_maxcode(out[4, :noff])
