@@ -1,23 +1,32 @@
 """The hot Pallas TPU kernel: banded one-hot matmul sweep.
 
 TPU-native replacement for the reference's CUDA grid kernel + tree reductions
-(cuda_funcs.cu:149-264).  Per grid program (one tile of TO offsets):
+(cuda_funcs.cu:149-264).  Per grid program (one tile of TO offsets),
+for each 128-char chunk of Seq2:
 
-  for each 128-char chunk of Seq2:
-    1. slice the Seq1 one-hot window (32, TO+C) from VMEM,
-    2. MXU matmul against the per-position code columns (32, C):
-         M[r, ii] = CODE[seq1[base+r], seq2[chunk+ii]]
-       — a one-hot contraction, so every output is the exact table value
-       (single nonzero term, no accumulation error even in bf16),
-    3. shear the band M[oo+ii, ii] -> D[oo, ii] with a log2(C)-step
-       masked-roll shifter (the TPU answer to CUDA's per-thread indexing),
-    4. decode D into sign classes / substitution ranks and reduce on the VPU:
-       integer class counts (sum over chunk lanes) and max rank.
+  1. slice the Seq1 one-hot window (32, TO+C) int8 from VMEM,
+  2. int8 MXU contraction against the per-position code columns (32, C):
+       M[ii, oo+ii] = CODE[seq1[base+oo+ii], seq2[chunk+ii]]
+     — one-hot, so every output is the exact table value (single nonzero
+     product, no accumulation error),
+  3. align the band with a PACKED-ROW SHEAR: bitcast packs 4 int8 code rows
+     per int32 sublane, masked lane-rotations shift 4 rows at once, and a
+     3-roll byte recombine applies the per-byte residual shift (the TPU
+     answer to CUDA's per-thread strided indexing, cuda_funcs.cu:165-175),
+  4. decode the 4 byte planes on the VPU: packed-field class counting (one
+     int32 sum carries three class counts) and a max-code reduction (the
+     fused code is monotone in substitution rank).
 
 Outputs exact integer per-offset statistics; winner selection stays on the
 host (ops/select.py).  There is no floating-point ambiguity anywhere on the
 device, so the canonical tie-break survives any parallel execution order —
 the property the reference gets from `is_swapable` (cuda_funcs.cu:290-307).
+
+Measured on one TPU v5e chip (131072x8192, 1.0e9 pair-evals): 10.0 ms/sweep
+= 1.0e11 pair-evals/s. The optimization history (each step bit-exact,
+measured via chained-materialized timing — see docs/DESIGN.md §6):
+59 -> 21.6 (lane-direction shear) -> 15.6 (2048 tiles) -> 13.8 (int8 MXU +
+packed-field counts) -> 11.2 (packed-row shear) -> 10.0 ms (max-code rank).
 """
 
 from __future__ import annotations
