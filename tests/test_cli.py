@@ -33,6 +33,19 @@ def test_cli_generated_both_modes(tmp_path):
         assert 0 <= int(off) <= len(seq1) - len(seq2)
 
 
+def test_cli_no_mutation_end_to_end(tmp_path):
+    """Digits-only sequences in lenient mode: every pair is out-of-range ->
+    weight 0, no substitution anywhere -> the defined no-mutation behavior
+    (reference UB, SURVEY.md Q3): message, unmodified seq2, offset -1, exit 1."""
+    inp = tmp_path / "in.txt"
+    inp.write_text("1 3 4 2\n111111\n2222\nminimum\n")
+    out = tmp_path / "out.txt"
+    rc = main([str(inp), "-o", str(out), "--backend", "numpy",
+               "--lenient", "--quiet"])
+    assert rc == 1
+    assert out.read_text() == "2222\n-1 inf"
+
+
 def test_cli_no_mutation_path(tmp_path):
     # A one-letter seq2 against identical seq1 chars in MAX mode yields a
     # mutation (identity is never offered for '*'), but weights can make every
