@@ -5,6 +5,11 @@ this reports true scaling efficiency; on a single host it can still run the
 virtual-CPU-mesh ladder to validate the sharded program at every mesh size
 (numbers then reflect core contention, not chip scaling — flagged in output).
 
+Timing methodology matches bench.py: K sweeps chained inside one jitted
+fori_loop with per-iteration input perturbation, result materialized
+(per-dispatch timing through the remote-TPU tunnel is unreliable, and a
+fresh shard_map trace per call would otherwise dominate small workloads).
+
 Usage: python benchmarks/scaling.py [--n1 100000] [--n2 10000]
        [--devices 1,2,4,8] [--platform cpu|tpu]
 """
@@ -31,29 +36,42 @@ def main():
     ap.add_argument("--n2", type=int, default=10_000)
     ap.add_argument("--devices", default=None,
                     help="comma list of mesh sizes (default: 1..device_count)")
-    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="cpu = force an 8-device virtual host mesh; "
+                         "tpu/default = whatever JAX resolves")
+    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     if args.platform == "cpu":
-        os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
 
+        if args.platform == "tpu" and jax.default_backend() != "tpu":
+            log("[scaling] error: --platform tpu requested but default "
+                f"backend is {jax.default_backend()}")
+            return 2
+
     import jax.numpy as jnp
 
     from psa_tpu.core.alphabet import encode
     from psa_tpu.core.tables import build_tables
-    from psa_tpu.parallel.mesh import make_mesh, pad_for_mesh, sharded_offset_stats
+    from psa_tpu.parallel.mesh import make_mesh, make_sharded_stats_fn, pad_for_mesh
     from psa_tpu.utils.generator import random_sequences
 
     ndev = jax.device_count()
     sizes = ([int(x) for x in args.devices.split(",")] if args.devices
              else [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev])
+    for d in sizes:
+        if d > ndev:
+            log(f"[scaling] error: mesh size {d} > available devices {ndev}")
+            return 2
     n1, n2 = args.n1, args.n2
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
     seq1, seq2 = random_sequences(n1, n2, seed=0)
@@ -69,18 +87,22 @@ def main():
         mesh = make_mesh(jax.devices()[:d])
         c1p, c2p, noff = pad_for_mesh(c1, c2, d)
         a, b = jnp.asarray(c1p), jnp.asarray(c2p)
+        stats_fn = make_sharded_stats_fn(tables, mesh, c1p.shape[0],
+                                         c2p.shape[0])
 
-        def run():
-            return sharded_offset_stats(a, b, tables, mesh)
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chained(a, b, k, stats_fn=stats_fn):
+            def body(i, acc):
+                bx = jnp.roll(b, i)  # perturb: defeat dispatch dedup
+                s = stats_fn(a, bx)
+                return acc + s[0, 0] + s[-1, 4]
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         t0 = time.perf_counter()
-        stats = run()
-        first = np.asarray(stats[0, 0])  # materialize
+        np.asarray(chained(a, b, args.iters))
         t_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for i in range(args.iters):
-            stats = run()
-        np.asarray(stats[0, 0])
+        np.asarray(chained(a, b, args.iters))
         dt = (time.perf_counter() - t0) / args.iters
         rate = pair_evals / dt
         if base_rate is None:
@@ -98,7 +120,8 @@ def main():
         "workload": {"n1": n1, "n2": n2},
         "results": results,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -90,32 +90,26 @@ def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
     return best, maxrank[bi, best], total[bi, best]
 
 
-def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
-                           interpret: bool | None = None):
-    """Single-chip batched throughput path: scan the Pallas sweep over B
-    queries (each sweep saturates the chip; no host round-trips between
-    queries) and reduce each to its winner triple in-graph.
+_PALLAS_RUNNERS: dict = {}
 
-    c1b: (B, L1K) int32 codes padded so L1K = noff_pad + L2P with
-    noff_pad = L1K - L2P a multiple of TILE_O; c2b: (B, L2P).
-    Returns (offsets (B,), maxranks (B,), totals_f32 (B,)).
-    """
+
+def make_batched_pallas_runner(tables: ScoringTables, l1k: int, l2p: int,
+                               interpret: bool):
+    """Build (and cache) the jitted batched scan for one (tables, shapes)
+    configuration.  Re-tracing on every call costs ~0.8s host-side even with
+    the XLA compile cache warm, so callers must reuse this runner."""
+    key = (tuple(tables.weights.tolist()), tables.is_max, l1k, l2p, interpret)
+    cached = _PALLAS_RUNNERS.get(key)
+    if cached is not None:
+        return cached
+
     import jax
 
     from psa_tpu.core.alphabet import NCODES_PAD
     from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas, maxrank_from_maxcode
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    l1k, l2p = c1b.shape[1], c2b.shape[1]
     noff_pad = l1k - l2p
     assert noff_pad % 512 == 0 and l2p % CHUNK == 0
-
-    w = jnp.asarray(tables.w_signed.astype(np.float32))
-    diff_vals = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
-    )
-    sign = 1.0 if tables.is_max else -1.0
     code_tab = jnp.asarray(tables.code)
 
     # NOTE: a packed (query, tile)-grid variant (_sweep_pallas_batched) was
@@ -126,22 +120,37 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     @jax.jit
     def run(c1b, c2b, noffs):
         def step(carry, q):
-            c1, c2, noff = q
+            c1, c2 = q
             s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
             pc = code_tab.astype(jnp.int8)[:, c2]
             out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
-            counts = out[:4, :].T.astype(jnp.float32)
-            maxrank = maxrank_from_maxcode(out[4, :])
-            total = counts @ w + diff_vals[jnp.clip(maxrank, 0, None)]
-            offs = jnp.arange(noff_pad, dtype=jnp.int32)
-            valid = (maxrank >= 0) & (offs < noff)
-            keyed = jnp.where(valid, sign * total, -jnp.inf)
-            best = jnp.argmax(keyed)
-            return carry, (best, maxrank[best], total[best])
+            maxrank = maxrank_from_maxcode(out[4:5, :])
+            return carry, jnp.concatenate([out[:4, :], maxrank], axis=0).T
 
-        _, res = jax.lax.scan(step, 0, (c1b, c2b, noffs))
-        return res
+        _, stats = jax.lax.scan(step, 0, (c1b, c2b))    # (B, noff_pad, 5)
+        return batched_device_winners(stats, tables, noffs)
 
+    _PALLAS_RUNNERS[key] = run
+    return run
+
+
+def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
+                           interpret: bool | None = None):
+    """Single-chip batched throughput path: scan the Pallas sweep over B
+    queries (each sweep saturates the chip; no host round-trips between
+    queries) and reduce each to its winner triple in-graph via
+    `batched_device_winners`.
+
+    c1b: (B, L1K) int32 codes padded so L1K = noff_pad + L2P with
+    noff_pad = L1K - L2P a multiple of 512; c2b: (B, L2P).
+    Returns (offsets (B,), maxranks (B,), totals_f32 (B,)).
+    """
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    run = make_batched_pallas_runner(tables, c1b.shape[1], c2b.shape[1],
+                                     bool(interpret))
     return run(jnp.asarray(c1b), jnp.asarray(c2b), jnp.asarray(noffs))
 
 

@@ -37,10 +37,11 @@ def _rescore(codes1, codes2, tables, offset):
     global _rescorer
     if _rescorer is None:
         try:
-            from psa_tpu.native import score_offset_native
+            from psa_tpu.native import get_lib, score_offset_native
 
+            get_lib()  # force the lazy g++ build NOW so failure falls back
             _rescorer = score_offset_native
-        except Exception:  # no toolchain: fall back to the Python oracle
+        except Exception:  # no toolchain / build failure: Python oracle
             _rescorer = score_offset_sequential
     return _rescorer(codes1, codes2, tables, offset)
 

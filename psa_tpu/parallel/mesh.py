@@ -54,6 +54,50 @@ def _local_stats_jnp(c1_local, c2p, code_flat, noff_local: int, block: int = 512
     return out.reshape(-1, 5)
 
 
+_SHARDED_FNS: dict = {}
+
+
+def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
+                          l1p: int, l2p: int, kernel: str = "auto"):
+    """Build (and cache) the jitted sharded sweep for one configuration.
+    Rebuilding the shard_map closure per call costs ~200ms of host tracing,
+    so callers should reuse the returned function."""
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    key = (tuple(tables.weights.tolist()), tables.is_max, kernel,
+           l1p, l2p, axis, tuple(d.id for d in mesh.devices.flat))
+    cached = _SHARDED_FNS.get(key)
+    if cached is not None:
+        return cached
+
+    noff_pad = l1p - l2p
+    assert noff_pad % (n_shards * 512) == 0, "pad offsets to n_shards*512"
+    per_shard = noff_pad // n_shards
+    code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
+    code_tab = jnp.asarray(tables.code)
+
+    def body(c1, c2):
+        k = jax.lax.axis_index(axis)
+        o0 = k * per_shard
+        c1_local = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
+        if kernel == "pallas":
+            from psa_tpu.ops.pallas_sweep import local_stats_pallas
+
+            return local_stats_pallas(c1_local, c2, code_tab, per_shard, l2p)
+        return _local_stats_jnp(c1_local, c2, code_flat, per_shard)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))
+    _SHARDED_FNS[key] = fn
+    return fn
+
+
 def sharded_offset_stats(codes1p: jnp.ndarray, codes2p: jnp.ndarray,
                          tables: ScoringTables, mesh: Mesh,
                          kernel: str = "auto"):
@@ -62,39 +106,9 @@ def sharded_offset_stats(codes1p: jnp.ndarray, codes2p: jnp.ndarray,
     codes1p must be padded so every shard's window fits:
     len >= noff_pad + len(codes2p) where noff_pad = n_shards * per_shard.
     """
-    axis = mesh.axis_names[0]
-    n_shards = mesh.shape[axis]
-    l1p = codes1p.shape[0]
-    l2p = codes2p.shape[0]
-    noff_pad = l1p - l2p
-    assert noff_pad % (n_shards * 512) == 0, "pad offsets to n_shards*512"
-    per_shard = noff_pad // n_shards
-
-    if kernel == "auto":
-        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
-
-    code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
-    code_tab = jnp.asarray(tables.code)
-
-    def body(c1, c2, cflat, ctab):
-        k = jax.lax.axis_index(axis)
-        o0 = k * per_shard
-        c1_local = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
-        if kernel == "pallas":
-            from psa_tpu.ops.pallas_sweep import local_stats_pallas
-
-            stats = local_stats_pallas(c1_local, c2, ctab, per_shard, l2p)
-        else:
-            stats = _local_stats_jnp(c1_local, c2, cflat, per_shard)
-        return stats
-
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=P(axis, None),
-        check_vma=False,
-    )
-    return jax.jit(fn)(codes1p, codes2p, code_flat, code_tab)
+    fn = make_sharded_stats_fn(tables, mesh, codes1p.shape[0],
+                               codes2p.shape[0], kernel)
+    return fn(codes1p, codes2p)
 
 
 def pad_for_mesh(codes1: np.ndarray, codes2: np.ndarray, n_shards: int,
