@@ -1,0 +1,67 @@
+"""Property tests for padding/tiling plans: every shape the planners emit
+must satisfy the kernel's alignment invariants, for arbitrary input sizes."""
+
+import numpy as np
+import pytest
+
+from psa_tpu.ops.common import bucket_len, pad_query, round_up
+from psa_tpu.ops.pallas_sweep import CHUNK, TILE_O, pick_tile, plan_shapes, size_tile
+from psa_tpu.parallel.mesh import pad_for_mesh
+
+from conftest import random_codes
+
+
+def test_plan_shapes_invariants():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n2 = int(rng.integers(1, 20000))
+        n1 = n2 + int(rng.integers(0, 200000))
+        noff, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+        assert noff == n1 - n2 + 1
+        assert noff_pad >= noff
+        assert l2p >= n2 and l2p % CHUNK == 0
+        tile = pick_tile(noff_pad)
+        assert noff_pad % tile == 0
+        assert tile <= TILE_O
+        # every padded offset's full window fits in the padded seq1
+        assert l1k >= noff_pad + l2p
+        # padding waste bounded: < one tile
+        assert noff_pad - noff < size_tile(noff)
+
+
+def test_pick_tile_divides():
+    for extent in range(512, 64 * 1024, 512):
+        t = pick_tile(extent)
+        assert extent % t == 0 and 512 <= t <= TILE_O
+
+
+def test_pad_for_mesh_invariants():
+    rng = np.random.default_rng(1)
+    for n_shards in (1, 2, 4, 8):
+        for _ in range(30):
+            n2 = int(rng.integers(1, 3000))
+            n1 = n2 + int(rng.integers(0, 50000))
+            c1 = random_codes(rng, n1)
+            c2 = random_codes(rng, n2)
+            c1p, c2p, noff = pad_for_mesh(c1, c2, n_shards)
+            noff_pad = c1p.shape[0] - c2p.shape[0]
+            assert noff == n1 - n2 + 1
+            assert noff_pad % (n_shards * 512) == 0
+            per_shard = noff_pad // n_shards
+            # each shard's window [o0, o0 + per_shard + l2p) fits
+            assert (n_shards - 1) * per_shard + per_shard + c2p.shape[0] \
+                <= c1p.shape[0]
+            # payload preserved
+            np.testing.assert_array_equal(c1p[:n1], c1)
+            np.testing.assert_array_equal(c2p[:n2], c2)
+
+
+def test_bucket_len_monotone_and_bounded():
+    prev = 0
+    for n in range(1, 5000, 37):
+        b = bucket_len(n)
+        assert b >= n and b % 128 == 0
+        assert b >= prev or n < prev  # monotone in n
+        prev = b
+        # geometric buckets waste at most ~50%
+        assert b <= max(512, round_up(n * 3 // 2 + 128, 128))
