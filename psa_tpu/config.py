@@ -33,6 +33,13 @@ class EngineConfig:
     # host selection
     max_candidates: int = _env_int("PSA_MAX_CANDIDATES", 4096)
 
+    # `auto` backend crossover (pair-evals): below this the native host
+    # engine runs the query without touching XLA — the reference's
+    # workload-aware CPU/GPU split (cpu_funcs.c:135-142) recalibrated for
+    # TPU dispatch/compile costs (native does ~2e9 pair-evals/s; a cold
+    # Mosaic compile costs 30-700s through the device tunnel).
+    auto_threshold: int = _env_int("PSA_AUTO_THRESHOLD", 200_000_000)
+
     # defaults mirroring the reference CLI contract (def.h:20-21)
     default_input: str = "./input.txt"
     default_output: str = "./output.txt"

@@ -55,6 +55,44 @@ def score_offset_sequential(codes1: np.ndarray, codes2: np.ndarray,
     return total + best_diff, best_i, best_sub, best_diff
 
 
+def rescore_candidates(codes1: np.ndarray, codes2: np.ndarray,
+                       tables: ScoringTables, cand: np.ndarray):
+    """`score_offset_sequential` vectorized over a candidate-offset axis.
+
+    Each candidate's f64 accumulation runs in the reference's left-to-right
+    order (the i-loop is sequential; vectorization is across candidates), so
+    the returned totals are bit-identical to per-offset sequential scans.
+    Returns (totals (k,) f64, char_offsets (k,) i64, sub_codes (k,) i64).
+    """
+    cand = np.asarray(cand, dtype=np.int64)
+    codes1 = np.asarray(codes1, dtype=np.int32)
+    codes2 = np.asarray(codes2, dtype=np.int32)
+    k = cand.shape[0]
+    n2 = int(codes2.shape[0])
+    is_max = tables.is_max
+    pair_w = tables.pair_w
+    diff = tables.diff
+    sub = tables.sub
+
+    totals = np.zeros(k, dtype=np.float64)
+    best_diff = np.full(k, -np.inf if is_max else np.inf)
+    best_i = np.full(k, -1, dtype=np.int64)
+    best_sub = np.full(k, -1, dtype=np.int64)
+    for i in range(n2):
+        c1 = codes1[cand + i]
+        c2 = codes2[i]
+        totals += pair_w[c1, c2]
+        d = diff[c1, c2]
+        # strict improvement only (cpu_funcs.c:287-288); NaN compares False,
+        # which is exactly the reference's "no substitution -> skip"
+        better = (d > best_diff) if is_max else (d < best_diff)
+        best_diff = np.where(better, d, best_diff)
+        best_i = np.where(better, i, best_i)
+        best_sub = np.where(better, sub[c1, c2], best_sub)
+    totals = np.where(best_i >= 0, totals + best_diff, best_diff)
+    return totals, best_i, best_sub
+
+
 def offset_stats_numpy(codes1: np.ndarray, codes2: np.ndarray,
                        tables: ScoringTables, chunk: int = 2048):
     """Per-offset integer stats: counts (noff, 4) int32, maxrank (noff,) int32.

@@ -13,7 +13,10 @@ Backends (all share the same output contract — see ops/select.py):
 * ``pallas`` — hand-written TPU kernel (ops/pallas_sweep.py); the hot path.
 * ``native`` — C++/OpenMP host engine (native/), the reference-semantics
                oracle at native speed.
-* ``auto``   — pallas on TPU, conv on CPU/GPU test platforms.
+* ``auto``   — workload-aware: small sweeps run on the native host engine
+               (never touching XLA), large ones on pallas (TPU) / conv
+               (elsewhere) — the reference's CPU/GPU crossover heuristic
+               (cpu_funcs.c:135-142) recalibrated for TPU compile costs.
 """
 
 from __future__ import annotations
@@ -30,11 +33,45 @@ from psa_tpu.ops.select import select_best
 
 _BACKENDS = ("auto", "numpy", "xla", "conv", "pallas", "native")
 
+_native_ok: bool | None = None
 
-def _resolve_auto() -> str:
-    import jax
 
-    platform = jax.devices()[0].platform
+def native_available() -> bool:
+    """True when the C++ engine builds (g++ present) and self-tests."""
+    global _native_ok
+    if _native_ok is None:
+        try:
+            from psa_tpu.native import get_lib
+
+            get_lib()
+            _native_ok = True
+        except Exception:
+            _native_ok = False
+    return _native_ok
+
+
+def resolve_auto(n1: int | None = None, n2: int | None = None,
+                 platform: str | None = None) -> str:
+    """Pick a backend for one workload.
+
+    The reference auto-routes by workload size: >=20% of its max pair-eval
+    count goes to the GPU, the rest stays on CPU (cpu_funcs.c:135-142).
+    Here the crossover is calibrated against accelerator dispatch/compile
+    cost: below ``CONFIG.auto_threshold`` pair-evals the native host engine
+    wins outright (a cold Mosaic compile costs 30-700s; the native engine
+    does ~1e9 pair-evals/s), and crucially it never initializes XLA.
+    Above it, the accelerator path amortizes: pallas on TPU, conv elsewhere.
+    """
+    from psa_tpu.config import CONFIG
+
+    if n1 is not None and n2 is not None:
+        pair_evals = max(n1 - n2 + 1, 0) * n2
+        if pair_evals < CONFIG.auto_threshold and native_available():
+            return "native"
+    if platform is None:
+        import jax
+
+        platform = jax.devices()[0].platform
     return "pallas" if platform == "tpu" else "conv"
 
 
@@ -58,14 +95,17 @@ class AlignmentSearchEngine:
         # sequential oracle mode (`make runseq`, SURVEY.md §3.5)
         self.nthreads = nthreads
 
-    def _resolve_backend(self) -> str:
-        if self.backend == "auto":
-            self.backend = _resolve_auto()
-        return self.backend
+    def _resolve_backend(self, codes1: np.ndarray | None = None,
+                         codes2: np.ndarray | None = None) -> str:
+        if self.backend != "auto":
+            return self.backend
+        n1 = codes1.shape[0] if codes1 is not None else None
+        n2 = codes2.shape[0] if codes2 is not None else None
+        return resolve_auto(n1, n2)
 
     def offset_stats(self, codes1: np.ndarray, codes2: np.ndarray):
         """Per-offset (counts (noff,4) int32, maxrank (noff,) int32)."""
-        backend = self._resolve_backend()
+        backend = self._resolve_backend(codes1, codes2)
         if backend == "numpy":
             return offset_stats_numpy(codes1, codes2, self.tables)
         if backend == "native":
@@ -91,7 +131,7 @@ class AlignmentSearchEngine:
         codes2 = np.asarray(codes2, dtype=np.int32)
         if codes2.shape[0] > codes1.shape[0]:
             raise ValueError("seq2 must not be longer than seq1")
-        if self._resolve_backend() == "native":
+        if self._resolve_backend(codes1, codes2) == "native":
             # the native engine applies the reference's sequential semantics
             # directly — no separate selection pass needed
             from psa_tpu.native import search_native

@@ -1,15 +1,20 @@
 """ctypes bindings for the native C++ search engine.
 
-The shared library is built on first use with g++ (no pip/pybind needed) and
-cached next to the source.  All tables are passed in from core/tables.py, so
-the C++ stays semantics-free glue + hot loops.
+The shared library is built on first use with g++ (no pip/pybind needed) into
+a per-machine cache directory keyed by the source hash — the binary is never
+committed (it is -march=native, so a foreign checkout's .so could SIGILL).
+After dlopen a tiny self-test runs before the handle is trusted; any failure
+raises so callers fall back to the Python oracle.  All tables are passed in
+from core/tables.py, so the C++ stays semantics-free glue + hot loops.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 
 import numpy as np
@@ -19,7 +24,6 @@ from psa_tpu.core.tables import ScoringTables
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "psa_native.cpp")
-_LIB = os.path.join(_DIR, "_libpsa.so")
 _lock = threading.Lock()
 _lib = None
 
@@ -28,13 +32,56 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 
 
-def _build() -> None:
+def _cache_dir() -> str:
+    base = os.environ.get("PSA_NATIVE_CACHE")
+    if base:
+        return base
+    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(xdg, "psa_tpu")
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_cache_dir(), f"libpsa-{digest}.so")
+
+
+def _build(lib_path: str) -> None:
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(lib_path))
+    os.close(fd)
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", _LIB + ".tmp",
+        _SRC, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, lib_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _self_test(lib) -> None:
+    """One tiny end-to-end call; raises if the binary misbehaves."""
+    from psa_tpu.core.tables import build_tables
+
+    t = build_tables(np.array([1.0, 2.0, 3.0, 4.0]), is_max=False)
+    c1 = np.array([0, 1, 2, 3, 4], np.int32)   # ABCDE
+    c2 = np.array([0, 1], np.int32)            # AB
+    counts = np.empty((4, 4), np.int32)
+    maxrank = np.empty(4, np.int32)
+    lib.psa_offset_stats(c1, c2, 2,
+                         np.ascontiguousarray(t.sign.reshape(-1)),
+                         np.ascontiguousarray(t.rank.reshape(-1)),
+                         0, 4, counts.reshape(-1), maxrank)
+    from psa_tpu.core.oracle import offset_stats_numpy
+
+    ref_counts, ref_maxrank = offset_stats_numpy(c1, c2, t)
+    if not (np.array_equal(counts, ref_counts)
+            and np.array_equal(maxrank, ref_maxrank)):
+        raise RuntimeError("native library self-test failed")
 
 
 def get_lib():
@@ -42,10 +89,10 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.psa_search.restype = ctypes.c_int
         lib.psa_search.argtypes = [
             _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
@@ -67,6 +114,7 @@ def get_lib():
             _i32p, _i32p, ctypes.c_int32, _i8p, _i8p,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p,
         ]
+        _self_test(lib)
         _lib = lib
         return lib
 

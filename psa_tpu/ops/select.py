@@ -9,41 +9,44 @@ host and applies the reference's canonical tie-break
     first substitute (the last two are baked into rank construction and the
     winner-offset rescan).
 
-Because the reference accumulates its per-offset f64 score *sequentially*
-(cpu_funcs.c:278), while our score comes from grouped counts, near-tied
-candidates are re-scored with `score_offset_sequential` so the final choice
-and the printed score are bit-identical to the reference in all practical
-cases (they are always identical when the weights are exactly representable,
-e.g. integers or short binary fractions).
+The reference accumulates its per-offset f64 score *sequentially*
+(cpu_funcs.c:278), while our totals come from grouped integer counts; the two
+f64 roundings of the same exact sum can differ by at most a bound
+proportional to n2*ulp (see `candidate_epsilon`).  Every offset within that
+bound of the grouped best is re-scored in the reference's sequential order
+(`rescore_candidates` — vectorized over candidates, so even hundreds of
+thousands of exact ties stay cheap), making the final winner and the printed
+score bit-identical to the reference with NO truncation of the candidate
+set.
 """
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
-from psa_tpu.core.oracle import score_offset_sequential
+from psa_tpu.core.oracle import rescore_candidates
 from psa_tpu.core.result import NoMutationFound, SearchResult
 from psa_tpu.core.tables import ScoringTables
 
 from psa_tpu.config import CONFIG
 
-_MAX_CANDIDATES = CONFIG.max_candidates
-_rescorer = None
 
+def candidate_epsilon(tables: ScoringTables, n2: int) -> float:
+    """Sound bound on |sequential f64 total - grouped f64 total|.
 
-def _rescore(codes1, codes2, tables, offset):
-    """Sequential reference-order re-scorer: native C++ when buildable,
-    pure-Python transcription otherwise."""
-    global _rescorer
-    if _rescorer is None:
-        try:
-            from psa_tpu.native import get_lib, score_offset_native
-
-            get_lib()  # force the lazy g++ build NOW so failure falls back
-            _rescorer = score_offset_native
-        except Exception:  # no toolchain / build failure: Python oracle
-            _rescorer = score_offset_sequential
-    return _rescorer(codes1, codes2, tables, offset)
+    Both totals round the same exact rational value; a sequential sum of n2
+    terms each bounded by max|w| (plus one substitution delta bounded by
+    max|diff|) carries error <= n2 * eps_m * S where S bounds the running
+    absolute sum; the grouped side adds a handful of ulps.  The factor 4 is
+    headroom.  An offset outside this band of the grouped best cannot win
+    under sequential semantics, so the candidate set is provably complete.
+    """
+    max_w = float(np.max(np.abs(tables.w_signed))) if n2 else 0.0
+    max_d = float(np.max(np.abs(tables.diff_vals))) if tables.diff_vals.size else 0.0
+    s_bound = n2 * max_w + max_d
+    return 4.0 * (n2 + 8) * np.finfo(np.float64).eps * max(s_bound, 1.0)
 
 
 def totals_from_stats(counts: np.ndarray, maxrank: np.ndarray,
@@ -77,27 +80,22 @@ def select_best(counts: np.ndarray, maxrank: np.ndarray, tables: ScoringTables,
     totals = np.where(valid, totals, -np.inf if tables.is_max else np.inf)
 
     best = totals.max() if tables.is_max else totals.min()
-    eps = 1e-8 * (1.0 + abs(best))
+    eps = candidate_epsilon(tables, int(codes2.shape[0]))
     cand = np.nonzero(np.abs(totals - best) <= eps)[0]
-    cand = cand[:_MAX_CANDIDATES]
+    if cand.shape[0] > CONFIG.max_candidates:
+        print(f"psa: note: {cand.shape[0]} near-tied offsets re-scored "
+              "sequentially for exact tie-breaking", file=sys.stderr)
 
-    # Re-score candidates with the reference's sequential float semantics and
-    # apply is_swapable ordering (strictly better, else keep the lower offset
-    # — candidates are scanned in ascending offset order).
-    best_total = None
-    winner = None
-    for o in cand.tolist():
-        total, char_off, sub_code, _ = _rescore(codes1, codes2, tables, o)
-        if char_off < 0:
-            continue
-        if best_total is None or (
-            (tables.is_max and total > best_total)
-            or (not tables.is_max and total < best_total)
-        ):
-            best_total = total
-            winner = (o, char_off, sub_code)
-    if winner is None:  # unreachable given `valid.any()`, kept as a guard
+    # Re-score every candidate with the reference's sequential f64 semantics
+    # (cpu_funcs.c:257-300). Candidates are in ascending offset order, so the
+    # first bit-equal best total is the is_swapable winner
+    # (cuda_funcs.cu:290-307: strictly better, else lowest offset).
+    seq_totals, coffs, subs = rescore_candidates(codes1, codes2, tables, cand)
+    ok = coffs >= 0
+    seq_totals = np.where(ok, seq_totals, -np.inf if tables.is_max else np.inf)
+    if not ok.any():  # unreachable given `valid.any()`, kept as a guard
         raise NoMutationFound("no offset admits a legal substitution")
-    o, char_off, sub_code = winner
-    return SearchResult(offset=o, char_offset=char_off,
-                        sub_code=sub_code, score=float(best_total))
+    best_total = seq_totals.max() if tables.is_max else seq_totals.min()
+    w = int(np.nonzero(seq_totals == best_total)[0][0])
+    return SearchResult(offset=int(cand[w]), char_offset=int(coffs[w]),
+                        sub_code=int(subs[w]), score=float(best_total))

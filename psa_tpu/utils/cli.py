@@ -88,11 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     try:
         with tracer:
             if args.sharded:
+                from psa_tpu.core.alphabet import validate
                 from psa_tpu.parallel.mesh import search_sharded
 
+                if not args.lenient and not (validate(query.seq1)
+                                             and validate(query.seq2)):
+                    raise ValueError(
+                        "sequences must contain only A-Z and '-' "
+                        "(pass --lenient to accept reference-UB inputs)")
                 kernel = "auto" if args.backend == "auto" else args.backend
                 if kernel not in ("auto", "pallas", "xla"):
                     kernel = "xla"
+                    print(f"warning: backend {args.backend!r} has no sharded "
+                          "path; using the xla kernel", file=sys.stderr)
                 res = search_sharded(encode(query.seq1), encode(query.seq2),
                                      engine.tables, kernel=kernel)
             else:
