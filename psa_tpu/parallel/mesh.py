@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from psa_tpu.core.tables import ScoringTables
 from psa_tpu.ops.common import round_up
@@ -88,12 +88,16 @@ def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
             return local_stats_pallas(c1_local, c2, code_tab, per_shard, l2p)
         return _local_stats_jnp(c1_local, c2, code_flat, per_shard)
 
+    # Explicit replicated in_shardings: host numpy inputs become global
+    # replicated arrays without cross-process resharding — required for the
+    # multi-process (multi-controller) path, harmless single-process.
+    repl = NamedSharding(mesh, P())
     fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(axis, None),
         check_vma=False,
-    ))
+    ), in_shardings=(repl, repl))
     _SHARDED_FNS[key] = fn
     return fn
 
@@ -139,8 +143,10 @@ def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
         mesh = make_mesh()
     n_shards = mesh.shape[mesh.axis_names[0]]
     c1p, c2p, noff = pad_for_mesh(codes1, codes2, n_shards)
-    stats = sharded_offset_stats(jnp.asarray(c1p), jnp.asarray(c2p),
-                                 tables, mesh, kernel=kernel)
+    # pass host numpy (uncommitted) so the jit's replicated in_shardings can
+    # place full copies per process — a committed single-device array cannot
+    # be resharded across processes
+    stats = sharded_offset_stats(c1p, c2p, tables, mesh, kernel=kernel)
     if jax.process_count() > 1:
         # multi-host: each process holds only its shards; gather over DCN
         from jax.experimental import multihost_utils

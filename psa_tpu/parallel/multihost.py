@@ -7,9 +7,11 @@ same mesh-sharded program as single-host (parallel/mesh.py) — the global mesh
 simply spans all hosts' devices, so the cross-host merge is the same in-graph
 collective instead of MPI_Allreduce + Send/Recv (cpu_funcs.c:64-94).
 
-This module is exercised multi-process in CI-less environments via the
-single-process degenerate path; the code paths are identical because JAX's
-multi-controller model makes every process run the same program.
+Exercised for real by tests/test_distributed.py: two processes joined
+through a local coordinator (CPU backend, Gloo collectives) run the full
+read -> broadcast -> sharded search -> allgather -> write flow, with the
+non-primary rank receiving no input file at all.  Launch locally with
+`psa-dist -np N` or per-host with `psa --distributed`.
 """
 
 from __future__ import annotations
@@ -21,12 +23,19 @@ import numpy as np
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Join the pod slice. No-op when JAX already knows the topology (TPU VMs
-    auto-discover) or when running single-process."""
+               process_id: int | None = None,
+               force: bool = False) -> None:
+    """Join the pod slice (the reference's MPI_Init, main.c:20-22).
+
+    With explicit coordinator/process arguments, forms the service directly
+    (the `mpiexec -np N` analog — the psa-dist launcher passes these).  With
+    no arguments it is a no-op unless `force`, in which case it asks JAX to
+    auto-discover the topology (TPU pod env / cloud metadata)."""
     import jax
 
     if num_processes in (None, 1) and coordinator_address is None:
+        if force:
+            jax.distributed.initialize()  # TPU-pod/cluster auto-discovery
         return  # single-process: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

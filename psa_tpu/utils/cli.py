@@ -47,6 +47,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=0,
                    help="native-backend thread count (1 = the reference's "
                         "sequential `runseq` oracle mode; 0 = all cores)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process run (the reference's `make run` = "
+                        "mpiexec, Makefile:18-22): join the jax.distributed "
+                        "pod, process 0 reads/writes files, the query "
+                        "broadcasts, the offset axis shards over the global "
+                        "mesh. Launch via psa-dist or one process per host.")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (omit on TPU "
+                        "pods: auto-discovered)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for --distributed")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank for --distributed")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) before any device "
+                        "use — needed where jax_platforms is pre-pinned")
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler device trace into LOGDIR")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
@@ -55,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.distributed:
+        return _main_distributed(args)
 
     from psa_tpu.core.alphabet import encode
     from psa_tpu.core.result import NoMutationFound
@@ -130,6 +154,38 @@ def main(argv: list[str] | None = None) -> int:
         # same trailer the reference prints (main.c:46-47)
         print("total time: %g" % elapsed)
     return 0
+
+
+def _main_distributed(args) -> int:
+    """Multi-process flow: initialize the pod, run the distributed search.
+
+    Mirrors the reference's ranked path (main.c:20-22 -> cpu_funcs.c:25-121):
+    every process executes the same program; process 0 owns file I/O and the
+    time trailer."""
+    from psa_tpu.parallel import multihost
+
+    multihost.initialize(args.coordinator, args.num_processes,
+                         args.process_id, force=True)
+
+    kernel = "auto" if args.backend == "auto" else args.backend
+    if kernel not in ("auto", "pallas", "xla"):
+        print(f"warning: backend {args.backend!r} has no sharded path; "
+              "using the xla kernel", file=sys.stderr)
+        kernel = "xla"
+    t0 = time.perf_counter()
+    try:
+        code = multihost.run_distributed_search(args.input, args.output,
+                                                backend_kernel=kernel)
+    except FileNotFoundError:
+        print(f"error: cannot open input file `{args.input}`", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: bad input file `{args.input}`: {e}", file=sys.stderr)
+        return 2
+    elapsed = time.perf_counter() - t0
+    if multihost.is_primary() and not args.quiet:
+        print("total time: %g" % elapsed)
+    return code
 
 
 if __name__ == "__main__":
