@@ -27,9 +27,13 @@ def main():
     ap.add_argument("--batch", type=int, default=1000)
     ap.add_argument("--n1", type=int, default=2048)
     ap.add_argument("--n2", type=int, default=512)
-    ap.add_argument("--verify", type=int, default=8,
-                    help="verify this many winners against the exact oracle")
+    ap.add_argument("--verify", default="8",
+                    help="'all' or a count: verify this many winners of the "
+                         "EXACT path against the per-query host oracle")
     args = ap.parse_args()
+    n_verify = None
+    if args.verify != "all":
+        n_verify = int(args.verify)
 
     import jax
 
@@ -65,18 +69,35 @@ def main():
     offsets, maxranks, totals = (np.asarray(x) for x in res)
     dt = time.perf_counter() - t0
 
-    # verify a sample against the exact oracle
+    # bit-exact batched path (device top-k candidates + host sequential
+    # re-score, models/batch.batched_search_exact)
+    from psa_tpu.models.batch import batched_search_exact
+
+    n2s = np.full(B, n2, np.int32)
+    exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)  # compile
+    t0 = time.perf_counter()
+    exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+    dt_exact = time.perf_counter() - t0
+    log(f"[batch] exact path: {B} queries in {dt_exact:.3f}s -> "
+        f"{B/dt_exact:.1f} q/s")
+
+    # verify exact-path winners (full tuple) against the per-query oracle
     from psa_tpu.core.oracle import offset_stats_numpy
     from psa_tpu.ops.select import select_best
 
-    bad = 0
-    idxs = np.linspace(0, B - 1, min(args.verify, B)).astype(int)
+    bad = f32_bad = 0
+    idxs = (np.arange(B) if n_verify is None
+            else np.linspace(0, B - 1, min(n_verify, B)).astype(int))
     for q in idxs:
         counts, maxrank = offset_stats_numpy(c1b[q][: n1], c2b[q][: n2], tables)
         ref = select_best(counts, maxrank, tables, c1b[q][: n1], c2b[q][: n2])
-        if int(offsets[q]) != ref.offset:
+        r = exact[q]
+        if (r.offset, r.char_offset, r.sub_code, r.score) != (
+                ref.offset, ref.char_offset, ref.sub_code, ref.score):
             bad += 1
-            log(f"[batch] MISMATCH q={q}: got {int(offsets[q])} want {ref.offset}")
+            log(f"[batch] EXACT MISMATCH q={q}: got {r} want {ref}")
+        if int(offsets[q]) != ref.offset:
+            f32_bad += 1
     pair_evals = float(B) * (n1 - n2 + 1) * n2
     out = {
         "metric": "batch_queries_per_sec",
@@ -86,11 +107,14 @@ def main():
             "batch": B, "n1": n1, "n2": n2,
             "seconds": dt,
             "pair_evals_per_sec": pair_evals / dt,
+            "exact_queries_per_sec": B / dt_exact,
             "verified": int(len(idxs) - bad), "mismatches": int(bad),
+            "f32_path_offset_mismatches": int(f32_bad),
         },
     }
-    log(f"[batch] {B} queries in {dt:.3f}s -> {B/dt:.1f} q/s, "
-        f"{pair_evals/dt:.3g} pair-evals/s, verified {len(idxs)-bad}/{len(idxs)}")
+    log(f"[batch] {B} queries in {dt:.3f}s -> {B/dt:.1f} q/s (f32 ranking), "
+        f"{pair_evals/dt:.3g} pair-evals/s; exact path verified "
+        f"{len(idxs)-bad}/{len(idxs)}")
     print(json.dumps(out))
     return 1 if bad else 0
 

@@ -154,6 +154,198 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
     return run(jnp.asarray(c1b), jnp.asarray(c2b), jnp.asarray(noffs))
 
 
+_EXACT_RUNNERS: dict = {}
+
+TOPK = 32
+
+
+def f32_band_epsilon(tables: ScoringTables, l2p: int) -> float:
+    """Bound on |f32 keyed total - exact f64 total| for the in-graph ranking.
+
+    counts <= l2p, weights/diffs bounded; the f32 dot performs ~6 roundings
+    on values bounded by S = l2p*max|w| + max|diff|; 16x is headroom.  Any
+    offset whose exact total ties the exact best lies within this band of
+    the f32 best, so top-k + band-count makes the device ranking *checkably*
+    exact: if more than k candidates fall in the band the host falls back.
+    """
+    max_w = float(np.max(np.abs(tables.w_signed)))
+    max_d = float(np.max(np.abs(tables.diff_vals))) if tables.diff_vals.size else 0.0
+    s = l2p * max_w + max_d
+    return 16.0 * np.float32(np.finfo(np.float32).eps) * max(s, 1.0)
+
+
+def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
+                              interpret: bool, k: int = TOPK):
+    """Jitted scan returning per query the top-k f32 candidates WITH their
+    exact integer stats plus the band population count — everything the host
+    needs for bit-exact selection (or to detect it must fall back).
+    """
+    key = (tuple(tables.weights.tolist()), tables.is_max, l1k, l2p,
+           interpret, k)
+    cached = _EXACT_RUNNERS.get(key)
+    if cached is not None:
+        return cached
+
+    import jax
+
+    from psa_tpu.core.alphabet import NCODES_PAD
+    from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas, maxrank_from_maxcode
+
+    noff_pad = l1k - l2p
+    assert noff_pad % 512 == 0 and l2p % CHUNK == 0
+    code_tab = jnp.asarray(tables.code)
+    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
+    diff32 = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    eps = np.float32(f32_band_epsilon(tables, l2p))
+    sign = 1.0 if tables.is_max else -1.0
+    offs = jnp.arange(noff_pad, dtype=jnp.int32)
+
+    @jax.jit
+    def run(c1b, c2b, noffs):
+        def step(carry, q):
+            c1, c2, noff = q
+            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
+            pc = code_tab.astype(jnp.int8)[:, c2]
+            out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
+            maxrank = maxrank_from_maxcode(out[4, :])
+            stats = jnp.concatenate([out[:4, :], maxrank[None, :]], axis=0).T
+            total = stats[:, :4].astype(jnp.float32) @ w32 \
+                + diff32[jnp.clip(maxrank, 0, None)]
+            valid = (maxrank >= 0) & (offs < noff)
+            keyed = jnp.where(valid, sign * total, -jnp.inf)
+            best = jnp.max(keyed)
+            near = jnp.sum(keyed >= best - eps)
+            topv, topi = jax.lax.top_k(keyed, k)
+            stats_k = stats[topi]
+            return carry, (topi.astype(jnp.int32), stats_k, near, best)
+
+        _, (topi, stats_k, near, best) = jax.lax.scan(
+            step, 0, (c1b, c2b, noffs))
+        return topi, stats_k, near, best
+
+    _EXACT_RUNNERS[key] = run
+    return run
+
+
+def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
+                         interpret: bool | None = None, k: int = TOPK):
+    """Bit-exact batched search: device top-k candidates -> host sequential
+    re-scoring (same machinery as the single-query path, ops/select.py).
+
+    Returns a list of SearchResult | None (None = no mutation exists, the
+    defined behavior for the reference's UB path, SURVEY.md Q3).  Queries
+    whose f32 near-tie band exceeds k fall back to the exact single-query
+    numpy path — rare (requires >k offsets within ~1e-5 of the best), and
+    correctness never depends on the f32 ranking.
+    """
+    import jax
+
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.ops.select import (candidate_epsilon, pick_from_candidates,
+                                    select_best, totals_from_stats)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c1b = np.asarray(c1b)
+    c2b = np.asarray(c2b)
+    noffs = np.asarray(noffs)
+    n2s = np.asarray(n2s)
+    run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
+                                    bool(interpret), k)
+    topi, stats_k, near, best = (np.asarray(x) for x in
+                                 run(jnp.asarray(c1b), jnp.asarray(c2b),
+                                     jnp.asarray(noffs)))
+
+    results: list = []
+    for q in range(c1b.shape[0]):
+        noff, n2 = int(noffs[q]), int(n2s[q])
+        c1 = c1b[q][: noff + n2 - 1]
+        c2 = c2b[q][: n2]
+        if np.isneginf(best[q]):
+            results.append(None)
+            continue
+        if near[q] > k:
+            counts, maxrank = offset_stats_numpy(c1, c2, tables)
+            try:
+                results.append(select_best(counts, maxrank, tables, c1, c2))
+            except NoMutationFound:
+                results.append(None)
+            continue
+        idx = topi[q]
+        st = stats_k[q]
+        keep = (idx < noff) & (st[:, 4] >= 0)
+        idx, st = idx[keep], st[keep]
+        order = np.argsort(idx, kind="stable")
+        idx, st = idx[order], st[order]
+        totals = totals_from_stats(st[:, :4], st[:, 4], tables)
+        b = totals.max() if tables.is_max else totals.min()
+        cand = idx[np.abs(totals - b) <= candidate_epsilon(tables, n2)]
+        results.append(pick_from_candidates(c1, c2, tables, cand))
+    return results
+
+
+def search_batch(queries, backend: str = "auto",
+                 strict_alphabet: bool = True):
+    """Mixed-size multi-query search with bucketed padding.
+
+    Queries (utils.io.Query) are grouped by (weights, mode, noff_pad, l2p)
+    — the static-shape buckets of plan_shapes — and each bucket runs as ONE
+    batched device scan (bit-exact selection via batched_search_exact) when
+    the accelerator path pays off, else as a host-engine loop.  Results come
+    back in input order; None marks a query with no legal mutation.
+    """
+    import jax
+
+    from psa_tpu.core.alphabet import encode, pad_codes, validate
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+
+    results: list = [None] * len(queries)
+    buckets: dict = {}
+    for i, q in enumerate(queries):
+        if strict_alphabet and not (validate(q.seq1) and validate(q.seq2)):
+            raise ValueError(
+                f"case {i}: sequences must contain only A-Z and '-'")
+        _, noff_pad, l2p, l1k = plan_shapes(len(q.seq1), len(q.seq2))
+        key = (tuple(float(w) for w in q.weights), q.is_max, l1k, l2p)
+        buckets.setdefault(key, []).append(i)
+
+    if backend == "auto":
+        use_device = jax.default_backend() == "tpu"
+    else:
+        use_device = backend == "pallas"
+
+    for (w, is_max, l1k, l2p), idxs in buckets.items():
+        if use_device:
+            tables = build_tables(np.asarray(w), is_max)
+            c1b = np.stack([pad_codes(encode(queries[i].seq1), l1k)
+                            for i in idxs])
+            c2b = np.stack([pad_codes(encode(queries[i].seq2), l2p)
+                            for i in idxs])
+            noffs = np.array([len(queries[i].seq1) - len(queries[i].seq2) + 1
+                              for i in idxs], np.int32)
+            n2s = np.array([len(queries[i].seq2) for i in idxs], np.int32)
+            rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+            for i, r in zip(idxs, rs):
+                results[i] = r
+        else:
+            eng_backend = backend if backend != "auto" else "auto"
+            for i in idxs:
+                q = queries[i]
+                eng = AlignmentSearchEngine(q.weights, q.is_max,
+                                            backend=eng_backend,
+                                            strict_alphabet=strict_alphabet)
+                try:
+                    results[i] = eng.search(q.seq1, q.seq2)
+                except NoMutationFound:
+                    results[i] = None
+    return results
+
+
 def batched_search_step(tables: ScoringTables, mesh: Mesh, block: int = 512):
     """Returns a jittable step: (c1b, c2b, noffs) -> (offsets, maxranks, totals)."""
 

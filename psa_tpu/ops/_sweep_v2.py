@@ -1,0 +1,210 @@
+"""Experimental sweep kernel v2: flat-reshape shear + SWAR byte counting.
+
+Three changes vs ops/pallas_sweep.py (each independently toggleable for
+measurement):
+
+* CHUNK=256 — halves chunk-loop iterations and matmul count; class counts
+  per int32 byte-field stay <= 64 (256 band rows / 4 per byte), summed
+  horizontally with a 16-bit SWAR fold instead of a multiply.
+* shear='reshape' — the diagonal band alignment M[i, o+i] -> A[i, o] is a
+  pure *strided reinterpretation*: flattening the (C+pad, W) band row-major
+  and re-chunking rows at stride W+1 yields A[s, j] = M[s, s+j] exactly
+  (rows beyond C-1 are zero filler that never lands inside j < tile_o).
+  One reshape replaces the 5 masked log-rolls + 3 recombine rolls of the
+  packed shear.  shear='rolls' keeps the round-1 packed-roll scheme as the
+  fallback.
+* SWAR class counting — equality tests run on 4 packed bytes at once
+  ((x + 0x7f7f7f7f) & 0x80808080 marks nonzero bytes); 3 class counts +
+  1 valid count = 4 sublane reductions per chunk instead of 8, and the max
+  code reduces directly on int8 rows (no per-plane unpack).
+
+Correctness is bit-for-bit vs the round-1 kernel (tests/test_engines
+differential suite); this module graduates into pallas_sweep.py once the
+TPU timings justify it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psa_tpu.core.alphabet import NCODES_PAD, PAD_CODE
+from psa_tpu.core.tables import ScoringTables
+from psa_tpu.ops.common import round_up
+
+CHUNK2 = 256
+ROWPAD = 8          # zero band rows so the flat reshape has filler material
+H = np.int32(-2139062144)    # 0x80808080
+L7 = np.int32(0x7F7F7F7F)
+B1 = np.int32(0x01010101)
+M16 = np.int32(0x00FF00FF)
+BYTE3 = np.int32(-16777216)  # 0xFF000000
+
+
+def _count_eq_packed(x, k, rows_then):
+    """Count bytes equal to k (1..3) across sublanes of packed int32 `x`.
+
+    Returns (1, T) int32 totals. Bytes of x are 2-bit class slots (0..3).
+    """
+    eq = x ^ (k * B1)
+    hit = (~((eq + L7) & H)) & H                 # bit7 set iff byte == k
+    ones = jax.lax.shift_right_logical(hit, 7) & B1
+    s = jnp.sum(ones, axis=0, keepdims=True)     # fields <= rows (<=64)
+    s16 = (s & M16) + (jax.lax.shift_right_logical(s, 8) & M16)
+    return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
+
+
+def _count_nonzero_packed(x):
+    """Count nonzero bytes (valid pair positions) of packed int32 `x`."""
+    hit = (x + L7) & H                           # bytes <= 126: no carry
+    ones = jax.lax.shift_right_logical(hit, 7) & B1
+    s = jnp.sum(ones, axis=0, keepdims=True)
+    s16 = (s & M16) + (jax.lax.shift_right_logical(s, 8) & M16)
+    return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
+
+
+def _shear_reshape(m8, width: int, tile_o: int):
+    """A[s, j] = m8[s, s+j] via flat re-chunking at stride width+1."""
+    flat = m8.reshape(-1)
+    return flat[: CHUNK2 * (width + 1)].reshape(CHUNK2, width + 1)[:, :tile_o]
+
+
+def _shear_stride(m8, width: int, tile_o: int):
+    """One strided rotate + 3 byte-recombine rolls.
+
+    Requires pc columns REVERSED (j = C-1-i): band element for offset o then
+    sits at lane o + C-1-j of row j, so the alignment shift is
+    (width-C+1) + j — linear with slope +1 in the row index, i.e. slope +4
+    per packed int32 row, which tpu.RotateOp expresses directly via
+    stride/stride_axis. The +b byte residual is the same 3-roll recombine as
+    the round-1 kernel.
+    """
+    p = pltpu.bitcast(m8[:CHUNK2], jnp.int32)            # (C/4, W)
+    p = pltpu.roll(p, width - CHUNK2 + 1, 1, stride=4, stride_axis=0)
+    r1 = pltpu.roll(p, 1, 1)
+    r2 = pltpu.roll(p, 2, 1)
+    r3 = pltpu.roll(p, 3, 1)
+    d4 = ((p & 0xFF) | (r1 & 0xFF00) | (r2 & 0xFF0000) | (r3 & BYTE3))
+    return d4[:, :tile_o]
+
+
+def _sweep_kernel_v2(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
+                     tile_o: int, shear: str):
+    o0 = pl.program_id(0) * tile_o
+    width = tile_o + CHUNK2
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        base = pl.multiple_of(o0 + c * CHUNK2, CHUNK2)
+        win = s1oh_ref[:, pl.ds(base, width)]            # (32, W) int8
+        pcc = pc_ref[c]                                  # (32, C[+pad]) int8
+        m = jax.lax.dot_general(
+            pcc, win,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                # (C[+pad], W) i32
+        m8 = m.astype(jnp.int8)
+        if shear == "reshape":
+            a8 = _shear_reshape(m8, width, tile_o)       # (C, T) int8 aligned
+            p = pltpu.bitcast(a8, jnp.int32)             # (C/4, T) packed
+        else:
+            p = _shear_stride(m8, width, tile_o)         # (C/4, T) packed
+        # max fused code -> best substitution rank (monotone in rank);
+        # int8 reductions aren't implemented in Mosaic, so combine the 4
+        # byte planes elementwise first, then one int32 sublane reduction
+        d0 = p & 0xFF
+        d1 = jax.lax.shift_right_logical(p, 8) & 0xFF
+        d2 = jax.lax.shift_right_logical(p, 16) & 0xFF
+        d3 = jax.lax.shift_right_logical(p, 24) & 0xFF
+        dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
+        acc_ref[4:5, :] = jnp.maximum(
+            acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
+        t2 = p & (3 * B1)                                # 2-bit class slots
+        c0 = _count_eq_packed(t2, 1, CHUNK2 // 4)
+        c1 = _count_eq_packed(t2, 2, CHUNK2 // 4)
+        c2 = _count_eq_packed(t2, 3, CHUNK2 // 4)
+        vv = _count_nonzero_packed(p)
+        acc_ref[0:1, :] += c0
+        acc_ref[1:2, :] += c1
+        acc_ref[2:3, :] += c2
+        acc_ref[3:4, :] += vv - c0 - c1 - c2
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("noff_pad", "nchunks", "interpret",
+                                    "tile_o", "shear"))
+def _sweep_pallas_v2(pc3, s1oh_t, noff_pad: int, nchunks: int,
+                     interpret: bool, tile_o: int = 2048,
+                     shear: str = "reshape"):
+    """pc3: (nchunks, 32, CHUNK2+ROWPAD) int8; s1oh_t: (32, L1K) int8.
+
+    Returns (8, noff_pad) int32, same contract as pallas_sweep._sweep_pallas.
+    """
+    ntiles = noff_pad // tile_o
+    kernel = functools.partial(_sweep_kernel_v2, nchunks=nchunks,
+                               tile_o=tile_o, shear=shear)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_o), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, noff_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, tile_o), jnp.int32)],
+        interpret=interpret,
+    )(pc3, s1oh_t)
+
+
+@functools.partial(jax.jit, static_argnames=("l1k", "l2p", "shear"))
+def _prepare_v2(codes1p, codes2p, code_tab, l1k: int, l2p: int,
+                shear: str = "stride"):
+    c1 = jnp.full((l1k,), PAD_CODE, jnp.int32).at[: codes1p.shape[0]].set(codes1p)
+    s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
+    c2 = jnp.full((l2p,), PAD_CODE, jnp.int32).at[: codes2p.shape[0]].set(codes2p)
+    pc = code_tab[:, c2]                                  # (32, L2P) int8
+    nchunks = l2p // CHUNK2
+    pc3 = pc.reshape(32, nchunks, CHUNK2).transpose(1, 0, 2)
+    if shear == "stride":
+        # strided-rotate shear wants reversed in-chunk column order (j=C-1-i)
+        return pc3[:, :, ::-1], s1oh_t
+    pad = jnp.zeros((nchunks, 32, ROWPAD), jnp.int8)
+    return jnp.concatenate([pc3, pad], axis=2), s1oh_t
+
+
+def plan_shapes_v2(n1: int, n2: int, tile_o: int = 2048):
+    noff = n1 - n2 + 1
+    l2p = round_up(max(n2, CHUNK2), CHUNK2)
+    noff_pad = round_up(noff, tile_o)
+    l1k = noff_pad + l2p
+    return noff, noff_pad, l2p, l1k
+
+
+def offset_stats_v2(codes1: np.ndarray, codes2: np.ndarray,
+                    tables: ScoringTables, interpret: bool | None = None,
+                    tile_o: int = 2048, shear: str = "reshape"):
+    from psa_tpu.ops.pallas_sweep import maxrank_from_maxcode
+
+    codes1 = np.asarray(codes1, dtype=np.int32)
+    codes2 = np.asarray(codes2, dtype=np.int32)
+    noff, noff_pad, l2p, l1k = plan_shapes_v2(codes1.shape[0],
+                                              codes2.shape[0], tile_o)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pc3, s1oh_t = _prepare_v2(jnp.asarray(codes1), jnp.asarray(codes2),
+                              jnp.asarray(tables.code), l1k, l2p, shear)
+    out = _sweep_pallas_v2(pc3, s1oh_t, noff_pad, l2p // CHUNK2,
+                           bool(interpret), tile_o, shear)
+    out = np.asarray(out)
+    return out[:4, :noff].T.copy(), maxrank_from_maxcode(out[4, :noff])

@@ -86,14 +86,22 @@ def select_best(counts: np.ndarray, maxrank: np.ndarray, tables: ScoringTables,
         print(f"psa: note: {cand.shape[0]} near-tied offsets re-scored "
               "sequentially for exact tie-breaking", file=sys.stderr)
 
-    # Re-score every candidate with the reference's sequential f64 semantics
-    # (cpu_funcs.c:257-300). Candidates are in ascending offset order, so the
-    # first bit-equal best total is the is_swapable winner
-    # (cuda_funcs.cu:290-307: strictly better, else lowest offset).
+    return pick_from_candidates(codes1, codes2, tables, cand)
+
+
+def pick_from_candidates(codes1: np.ndarray, codes2: np.ndarray,
+                         tables: ScoringTables,
+                         cand: np.ndarray) -> SearchResult:
+    """Exact winner among candidate offsets (ascending order required).
+
+    Re-scores every candidate with the reference's sequential f64 semantics
+    (cpu_funcs.c:257-300); the first bit-equal best total is the is_swapable
+    winner (cuda_funcs.cu:290-307: strictly better, else lowest offset).
+    """
     seq_totals, coffs, subs = rescore_candidates(codes1, codes2, tables, cand)
     ok = coffs >= 0
     seq_totals = np.where(ok, seq_totals, -np.inf if tables.is_max else np.inf)
-    if not ok.any():  # unreachable given `valid.any()`, kept as a guard
+    if not ok.any():
         raise NoMutationFound("no offset admits a legal substitution")
     best_total = seq_totals.max() if tables.is_max else seq_totals.min()
     w = int(np.nonzero(seq_totals == best_total)[0][0])

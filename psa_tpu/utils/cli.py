@@ -63,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu) before any device "
                         "use — needed where jax_platforms is pre-pinned")
+    p.add_argument("--case", type=int, default=None, metavar="N",
+                   help="run the N-th embedded case record of a scratchpad "
+                        "input file (the reference's input.txt embeds extra "
+                        "cases as leftover tokens, input.txt:6+; N=0 is the "
+                        "record the reference itself would run)")
+    p.add_argument("--batch", action="store_true",
+                   help="run EVERY embedded case record: queries are bucketed "
+                        "by padded shape and streamed through the batched "
+                        "device path; -o names a directory receiving "
+                        "out_0000.txt, out_0001.txt, ...")
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler device trace into LOGDIR")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
@@ -79,11 +89,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.distributed:
         return _main_distributed(args)
+    if args.batch:
+        return _main_batch(args)
 
     from psa_tpu.core.alphabet import encode
     from psa_tpu.core.result import NoMutationFound
     from psa_tpu.models.search import AlignmentSearchEngine
-    from psa_tpu.utils.io import read_input, write_output
+    from psa_tpu.utils.io import read_cases, read_input, write_output
 
     if args.print_table:
         from psa_tpu.utils.pretty import render_sign_table
@@ -91,7 +103,15 @@ def main(argv: list[str] | None = None) -> int:
         print(render_sign_table())
 
     try:
-        query = read_input(args.input)
+        if args.case is not None:
+            cases = read_cases(args.input)
+            if not 0 <= args.case < len(cases):
+                print(f"error: --case {args.case} out of range "
+                      f"(file has {len(cases)} cases)", file=sys.stderr)
+                return 2
+            query = cases[args.case]
+        else:
+            query = read_input(args.input)
     except FileNotFoundError:
         print(f"error: cannot open input file `{args.input}`", file=sys.stderr)
         return 2
@@ -152,6 +172,54 @@ def main(argv: list[str] | None = None) -> int:
         pretty_print(query, res)
     if not args.quiet:
         # same trailer the reference prints (main.c:46-47)
+        print("total time: %g" % elapsed)
+    return 0
+
+
+def _main_batch(args) -> int:
+    """Batch mode: run every embedded case record, one output file each."""
+    import os
+
+    from psa_tpu.models.batch import search_batch
+    from psa_tpu.utils.io import format_output, read_cases
+
+    try:
+        cases = read_cases(args.input)
+    except FileNotFoundError:
+        print(f"error: cannot open input file `{args.input}`", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: bad input file `{args.input}`: {e}", file=sys.stderr)
+        return 2
+
+    outdir = args.output
+    if outdir.endswith(".txt"):
+        outdir = outdir[: -len(".txt")]
+    os.makedirs(outdir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    try:
+        results = search_batch(cases, backend=args.backend,
+                               strict_alphabet=not args.lenient)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    elapsed = time.perf_counter() - t0
+
+    n_missing = 0
+    for i, (q, res) in enumerate(zip(cases, results)):
+        path = os.path.join(outdir, f"out_{i:04d}.txt")
+        with open(path, "w") as f:
+            if res is None:
+                n_missing += 1
+                bad = float("-inf") if q.is_max else float("inf")
+                f.write(format_output(q.seq2, -1, bad))
+            else:
+                f.write(format_output(res.mutant(q.seq2), res.offset,
+                                      res.score))
+    if not args.quiet:
+        print(f"{len(cases)} cases -> {outdir}/ "
+              f"({n_missing} without mutation)", file=sys.stderr)
         print("total time: %g" % elapsed)
     return 0
 

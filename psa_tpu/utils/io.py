@@ -45,6 +45,40 @@ def read_input(path: str) -> Query:
         return parse_input(f.read())
 
 
+def parse_cases(text: str) -> list[Query]:
+    """Parse every embedded 7-token case record.
+
+    The reference's fscanf parser consumes only the first record
+    (cpu_funcs.c:353-368), but its bundled input.txt doubles as a scratchpad
+    holding more cases as leftover tokens (input.txt:6+, e.g. lines 29-32 =
+    README example 1).  This reads them all: records are consumed greedily,
+    7 whitespace tokens each (4 weights, Seq1, Seq2, mode).
+    """
+    tokens = text.split()
+    cases = []
+    i = 0
+    while i + 7 <= len(tokens):
+        try:
+            weights = np.array([float(t) for t in tokens[i: i + 4]],
+                               dtype=np.float64)
+        except ValueError:
+            break  # scratchpad junk after the last complete record
+        seq1, seq2 = tokens[i + 4], tokens[i + 5]
+        if len(seq2) > len(seq1):
+            raise ValueError(f"case {len(cases)}: seq2 longer than seq1")
+        cases.append(Query(weights=weights, seq1=seq1, seq2=seq2,
+                           is_max=tokens[i + 6] == Query.MAXIMUM_STR))
+        i += 7
+    if not cases:
+        raise ValueError("no complete 7-token case records found")
+    return cases
+
+
+def read_cases(path: str) -> list[Query]:
+    with open(path, "r") as f:
+        return parse_cases(f.read())
+
+
 def format_output(mutant: str, offset: int, score: float) -> str:
     return "%s\n%d %g" % (mutant, offset, score)
 

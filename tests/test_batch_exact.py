@@ -1,0 +1,166 @@
+"""Exact batched selection + multi-case parsing + batch CLI tests."""
+
+import numpy as np
+import pytest
+
+from psa_tpu.core.alphabet import encode, pad_codes
+from psa_tpu.core.oracle import offset_stats_numpy
+from psa_tpu.core.tables import build_tables
+from psa_tpu.models.batch import batched_search_exact, search_batch
+from psa_tpu.ops.select import select_best
+from psa_tpu.utils.io import parse_cases, read_cases, read_input
+
+from conftest import GOLDEN_INPUT, random_codes, random_seq
+
+
+@pytest.fixture(scope="module")
+def tables_min():
+    return build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+
+
+def _batch(rng, B, n1, n2, l1k, l2p):
+    c1b = np.stack([pad_codes(random_codes(rng, n1), l1k) for _ in range(B)])
+    c2b = np.stack([pad_codes(random_codes(rng, n2), l2p) for _ in range(B)])
+    noffs = np.full(B, n1 - n2 + 1, np.int32)
+    n2s = np.full(B, n2, np.int32)
+    return c1b, c2b, noffs, n2s
+
+
+@pytest.mark.parametrize("is_max", [False, True])
+def test_batched_exact_matches_single_query(is_max):
+    rng = np.random.default_rng(11)
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), is_max)
+    n1, n2, l2p = 700, 120, 128
+    l1k = 1024 + l2p          # noff=581 -> noff_pad=1024 (multiple of 512)
+    B = 6
+    c1b, c2b, noffs, n2s = _batch(rng, B, n1, n2, l1k, l2p)
+    res = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True)
+    assert len(res) == B
+    for q in range(B):
+        c1, c2 = c1b[q][: n1], c2b[q][: n2]
+        counts, maxrank = offset_stats_numpy(c1, c2, t)
+        ref = select_best(counts, maxrank, t, c1, c2)
+        r = res[q]
+        assert (r.offset, r.char_offset, r.sub_code, r.score) == (
+            ref.offset, ref.char_offset, ref.sub_code, ref.score), q
+
+
+def test_batched_exact_massive_tie_fallback():
+    """Periodic seq1 floods the f32 near-tie band past k -> host fallback;
+    the winner must still be the reference's exactly."""
+    t = build_tables(np.asarray([np.pi / 4, np.e / 7, np.sqrt(2) / 3, 1 / 3]),
+                     False)
+    base = np.array([0, 1], np.int32)
+    c1 = np.tile(base, 1000)              # 2000 chars, ~1873 tied offsets
+    c2 = np.tile(base, 64)                # 128 chars
+    l2p, l1k = 128, 2048 + 128
+    c1b = pad_codes(c1, l1k)[None, :]
+    c2b = pad_codes(c2, l2p)[None, :]
+    noffs = np.array([c1.shape[0] - c2.shape[0] + 1], np.int32)
+    n2s = np.array([c2.shape[0]], np.int32)
+    res = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True)
+    counts, maxrank = offset_stats_numpy(c1, c2, t)
+    ref = select_best(counts, maxrank, t, c1, c2)
+    r = res[0]
+    assert (r.offset, r.char_offset, r.sub_code, r.score) == (
+        ref.offset, ref.char_offset, ref.sub_code, ref.score)
+
+
+def test_batched_exact_no_mutation():
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), True)
+    # out-of-range chars everywhere (lenient-mode input): every pair weighs
+    # 0 with no legal substitution -> defined no-mutation path (SURVEY Q3)
+    c1 = np.full(700, 27, np.int32)
+    c2 = np.full(120, 27, np.int32)
+    l2p, l1k = 128, 1024 + 128
+    res = batched_search_exact(pad_codes(c1, l1k)[None, :],
+                               pad_codes(c2, l2p)[None, :],
+                               np.array([581], np.int32),
+                               np.array([120], np.int32), t, interpret=True)
+    assert res == [None]
+
+
+def test_search_batch_mixed_sizes_host_path():
+    """Bucketed mixed-size batch on the host path == per-query engine."""
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import Query
+
+    rng = np.random.default_rng(5)
+    specs = [(300, 40, False), (300, 40, True), (900, 200, False),
+             (1501, 77, False), (300, 40, False)]
+    queries = [
+        Query(weights=np.array([1.0, 3.0, 4.0, 2.0]), seq1=random_seq(rng, n1),
+              seq2=random_seq(rng, n2), is_max=m)
+        for n1, n2, m in specs
+    ]
+    got = search_batch(queries, backend="numpy")
+    for q, r in zip(queries, got):
+        eng = AlignmentSearchEngine(q.weights, q.is_max, backend="numpy")
+        ref = eng.search(q.seq1, q.seq2)
+        assert (r.offset, r.char_offset, r.score) == (
+            ref.offset, ref.char_offset, ref.score)
+
+
+def test_parse_cases_golden_scratchpad():
+    cases = read_cases(GOLDEN_INPUT)
+    assert len(cases) == 15
+    first = read_input(GOLDEN_INPUT)
+    assert cases[0].seq1 == first.seq1 and cases[0].seq2 == first.seq2
+    assert cases[0].is_max == first.is_max
+    # input.txt:29-32 is README example 1 (SURVEY.md §4)
+    assert len(cases[4].seq1) == 54 and len(cases[4].seq2) == 30
+    assert cases[4].is_max
+
+
+def test_parse_cases_rejects_empty():
+    with pytest.raises(ValueError):
+        parse_cases("1 2 3")
+
+
+def test_cli_case_selector(tmp_path):
+    from psa_tpu.utils.cli import main
+
+    out = tmp_path / "o.txt"
+    rc = main([GOLDEN_INPUT, "-o", str(out), "--case", "4",
+               "--backend", "numpy", "--quiet"])
+    assert rc == 0
+    body = out.read_text()
+    mutant, trailer = body.split("\n")
+    assert len(mutant) == 30
+
+    # --case 0 must byte-match the default single-case run
+    out0, out_def = tmp_path / "o0.txt", tmp_path / "od.txt"
+    assert main([GOLDEN_INPUT, "-o", str(out0), "--case", "0",
+                 "--backend", "numpy", "--quiet"]) == 0
+    assert main([GOLDEN_INPUT, "-o", str(out_def),
+                 "--backend", "numpy", "--quiet"]) == 0
+    assert out0.read_text() == out_def.read_text()
+
+
+def test_cli_batch_mode(tmp_path):
+    from psa_tpu.utils.cli import main
+    from psa_tpu.utils.generator import random_sequences
+
+    # build a 4-case scratchpad file (two shape buckets, both modes)
+    recs = []
+    for seed, (n1, n2, mode) in enumerate(
+            [(400, 60, "minimum"), (400, 60, "maximum"),
+             (900, 150, "minimum"), (400, 60, "minimum")]):
+        s1, s2 = random_sequences(n1, n2, seed=seed)
+        recs.append(f"1 3 4 2\n{s1}\n{s2}\n{mode}")
+    inp = tmp_path / "cases.txt"
+    inp.write_text("\n".join(recs))
+
+    outdir = tmp_path / "outs"
+    rc = main([str(inp), "-o", str(outdir), "--batch",
+               "--backend", "numpy", "--quiet"])
+    assert rc == 0
+    outs = sorted(p.name for p in outdir.iterdir())
+    assert outs == [f"out_{i:04d}.txt" for i in range(4)]
+
+    # each file must byte-match the corresponding --case single run
+    for i in range(4):
+        single = tmp_path / f"single_{i}.txt"
+        assert main([str(inp), "-o", str(single), "--case", str(i),
+                     "--backend", "numpy", "--quiet"]) == 0
+        assert (outdir / f"out_{i:04d}.txt").read_text() == single.read_text()
