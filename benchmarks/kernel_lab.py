@@ -25,7 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="v2")
     ap.add_argument("--tile", type=int, default=2048)
-    ap.add_argument("--shear", default="reshape")
+    ap.add_argument("--shear", default="stride")
+    ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--n1", type=int, default=131072)
     ap.add_argument("--n2", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=16)
@@ -64,13 +65,16 @@ def main():
     else:
         from psa_tpu.ops import _sweep_v2 as v2
 
-        _, noff_pad, l2p, l1k = v2.plan_shapes_v2(args.n1, args.n2, args.tile)
+        _, noff_pad, l2p, l1k = v2.plan_shapes_v2(args.n1, args.n2, args.tile,
+                                                  args.chunk)
         a, b = v2._prepare_v2(jnp.asarray(c1), jnp.asarray(c2),
-                              jnp.asarray(tables.code), l1k, l2p, args.shear)
+                              jnp.asarray(tables.code), l1k, l2p, args.shear,
+                              args.chunk)
 
         def one(aa, bb):
-            out = v2._sweep_pallas_v2(aa, bb, noff_pad, l2p // v2.CHUNK2,
-                                      interpret, args.tile, args.shear)
+            out = v2._sweep_pallas_v2(aa, bb, noff_pad, l2p // args.chunk,
+                                      interpret, args.tile, args.shear,
+                                      args.chunk)
             return out[0, 0] + out[4, -1]
 
         perturb_axis = -1
@@ -85,7 +89,8 @@ def main():
             from psa_tpu.ops._sweep_v2 import offset_stats_v2
             counts, maxrank = offset_stats_v2(c1, c2, tables,
                                               tile_o=args.tile,
-                                              shear=args.shear)
+                                              shear=args.shear,
+                                              chunk=args.chunk)
         rc, rm = offset_stats_numpy(c1, c2, tables)
         ok = np.array_equal(counts, rc) and np.array_equal(maxrank, rm)
         log(f"[lab] oracle check: {'OK' if ok else 'FAIL'}")
@@ -106,10 +111,10 @@ def main():
     np.asarray(chained(a, b, args.iters))
     dt = (time.perf_counter() - t0) / args.iters
     pair_evals = float(noff) * float(args.n2)
-    log(f"[lab] {args.variant}/{args.shear} tile={args.tile} "
+    log(f"[lab] {args.variant}/{args.shear} tile={args.tile} chunk={args.chunk} "
         f"{args.n1}x{args.n2}: {dt*1e3:.2f} ms/sweep, "
         f"{pair_evals/dt:.3g} evals/s")
-    print(f"RESULT {args.variant} {args.shear} {args.tile} {dt*1e3:.3f}")
+    print(f"RESULT {args.variant} {args.shear} {args.tile} {args.chunk} {dt*1e3:.3f}")
 
 
 if __name__ == "__main__":

@@ -46,26 +46,24 @@ M16 = np.int32(0x00FF00FF)
 BYTE3 = np.int32(-16777216)  # 0xFF000000
 
 
-def _count_eq_packed(x, k, rows_then):
-    """Count bytes equal to k (1..3) across sublanes of packed int32 `x`.
+def _fold_fields(s):
+    """Horizontal SWAR fold: sum the 4 byte-fields of packed row-sums.
 
-    Returns (1, T) int32 totals. Bytes of x are 2-bit class slots (0..3).
+    Field values <= 128 each, so the 16-bit intermediate never carries.
     """
-    eq = x ^ (k * B1)
-    hit = (~((eq + L7) & H)) & H                 # bit7 set iff byte == k
-    ones = jax.lax.shift_right_logical(hit, 7) & B1
-    s = jnp.sum(ones, axis=0, keepdims=True)     # fields <= rows (<=64)
     s16 = (s & M16) + (jax.lax.shift_right_logical(s, 8) & M16)
     return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
+
+
+def _sum_mask(m):
+    """(rows, T) packed 0/1-per-byte mask -> (1, T) int32 totals."""
+    return _fold_fields(jnp.sum(m, axis=0, keepdims=True))
 
 
 def _count_nonzero_packed(x):
     """Count nonzero bytes (valid pair positions) of packed int32 `x`."""
     hit = (x + L7) & H                           # bytes <= 126: no carry
-    ones = jax.lax.shift_right_logical(hit, 7) & B1
-    s = jnp.sum(ones, axis=0, keepdims=True)
-    s16 = (s & M16) + (jax.lax.shift_right_logical(s, 8) & M16)
-    return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
+    return _sum_mask(jax.lax.shift_right_logical(hit, 7) & B1)
 
 
 def _shear_reshape(m8, width: int, tile_o: int):
@@ -74,7 +72,7 @@ def _shear_reshape(m8, width: int, tile_o: int):
     return flat[: CHUNK2 * (width + 1)].reshape(CHUNK2, width + 1)[:, :tile_o]
 
 
-def _shear_stride(m8, width: int, tile_o: int):
+def _shear_stride(m8, width: int, tile_o: int, chunk: int = CHUNK2):
     """One strided rotate + 3 byte-recombine rolls.
 
     Requires pc columns REVERSED (j = C-1-i): band element for offset o then
@@ -84,8 +82,8 @@ def _shear_stride(m8, width: int, tile_o: int):
     stride/stride_axis. The +b byte residual is the same 3-roll recombine as
     the round-1 kernel.
     """
-    p = pltpu.bitcast(m8[:CHUNK2], jnp.int32)            # (C/4, W)
-    p = pltpu.roll(p, width - CHUNK2 + 1, 1, stride=4, stride_axis=0)
+    p = pltpu.bitcast(m8[:chunk], jnp.int32)             # (C/4, W)
+    p = pltpu.roll(p, width - chunk + 1, 1, stride=4, stride_axis=0)
     r1 = pltpu.roll(p, 1, 1)
     r2 = pltpu.roll(p, 2, 1)
     r3 = pltpu.roll(p, 3, 1)
@@ -94,13 +92,13 @@ def _shear_stride(m8, width: int, tile_o: int):
 
 
 def _sweep_kernel_v2(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
-                     tile_o: int, shear: str):
+                     tile_o: int, shear: str, chunk: int):
     o0 = pl.program_id(0) * tile_o
-    width = tile_o + CHUNK2
+    width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(c, _):
-        base = pl.multiple_of(o0 + c * CHUNK2, CHUNK2)
+        base = pl.multiple_of(o0 + c * chunk, chunk)
         win = s1oh_ref[:, pl.ds(base, width)]            # (32, W) int8
         pcc = pc_ref[c]                                  # (32, C[+pad]) int8
         m = jax.lax.dot_general(
@@ -113,7 +111,7 @@ def _sweep_kernel_v2(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
             a8 = _shear_reshape(m8, width, tile_o)       # (C, T) int8 aligned
             p = pltpu.bitcast(a8, jnp.int32)             # (C/4, T) packed
         else:
-            p = _shear_stride(m8, width, tile_o)         # (C/4, T) packed
+            p = _shear_stride(m8, width, tile_o, chunk)  # (C/4, T) packed
         # max fused code -> best substitution rank (monotone in rank);
         # int8 reductions aren't implemented in Mosaic, so combine the 4
         # byte planes elementwise first, then one int32 sublane reduction
@@ -124,15 +122,22 @@ def _sweep_kernel_v2(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
         dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
         acc_ref[4:5, :] = jnp.maximum(
             acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
-        t2 = p & (3 * B1)                                # 2-bit class slots
-        c0 = _count_eq_packed(t2, 1, CHUNK2 // 4)
-        c1 = _count_eq_packed(t2, 2, CHUNK2 // 4)
-        c2 = _count_eq_packed(t2, 3, CHUNK2 // 4)
+        # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
+        # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
+        # raw bit masks (2 ops each, no SWAR equality tests):
+        #   n13 = slots with bit0 (values 1,3), n23 = bit1 (2,3), n3 = both.
+        t2 = p & (3 * B1)
+        tb = jax.lax.shift_right_logical(t2, 1)
+        n13 = _sum_mask(t2 & B1)
+        n23 = _sum_mask(tb & B1)
+        n3 = _sum_mask(t2 & tb & B1)
         vv = _count_nonzero_packed(p)
+        c0 = n13 - n3                                    # cls0 count
+        c1 = n23 - n3                                    # cls1 count
         acc_ref[0:1, :] += c0
         acc_ref[1:2, :] += c1
-        acc_ref[2:3, :] += c2
-        acc_ref[3:4, :] += vv - c0 - c1 - c2
+        acc_ref[2:3, :] += n3                            # cls2 count
+        acc_ref[3:4, :] += vv - c0 - c1 - n3             # cls3 count
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -141,17 +146,17 @@ def _sweep_kernel_v2(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("noff_pad", "nchunks", "interpret",
-                                    "tile_o", "shear"))
+                                    "tile_o", "shear", "chunk"))
 def _sweep_pallas_v2(pc3, s1oh_t, noff_pad: int, nchunks: int,
                      interpret: bool, tile_o: int = 2048,
-                     shear: str = "reshape"):
+                     shear: str = "stride", chunk: int = CHUNK2):
     """pc3: (nchunks, 32, CHUNK2+ROWPAD) int8; s1oh_t: (32, L1K) int8.
 
     Returns (8, noff_pad) int32, same contract as pallas_sweep._sweep_pallas.
     """
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel_v2, nchunks=nchunks,
-                               tile_o=tile_o, shear=shear)
+                               tile_o=tile_o, shear=shear, chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -167,15 +172,15 @@ def _sweep_pallas_v2(pc3, s1oh_t, noff_pad: int, nchunks: int,
     )(pc3, s1oh_t)
 
 
-@functools.partial(jax.jit, static_argnames=("l1k", "l2p", "shear"))
+@functools.partial(jax.jit, static_argnames=("l1k", "l2p", "shear", "chunk"))
 def _prepare_v2(codes1p, codes2p, code_tab, l1k: int, l2p: int,
-                shear: str = "stride"):
+                shear: str = "stride", chunk: int = CHUNK2):
     c1 = jnp.full((l1k,), PAD_CODE, jnp.int32).at[: codes1p.shape[0]].set(codes1p)
     s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
     c2 = jnp.full((l2p,), PAD_CODE, jnp.int32).at[: codes2p.shape[0]].set(codes2p)
     pc = code_tab[:, c2]                                  # (32, L2P) int8
-    nchunks = l2p // CHUNK2
-    pc3 = pc.reshape(32, nchunks, CHUNK2).transpose(1, 0, 2)
+    nchunks = l2p // chunk
+    pc3 = pc.reshape(32, nchunks, chunk).transpose(1, 0, 2)
     if shear == "stride":
         # strided-rotate shear wants reversed in-chunk column order (j=C-1-i)
         return pc3[:, :, ::-1], s1oh_t
@@ -183,9 +188,9 @@ def _prepare_v2(codes1p, codes2p, code_tab, l1k: int, l2p: int,
     return jnp.concatenate([pc3, pad], axis=2), s1oh_t
 
 
-def plan_shapes_v2(n1: int, n2: int, tile_o: int = 2048):
+def plan_shapes_v2(n1: int, n2: int, tile_o: int = 2048, chunk: int = CHUNK2):
     noff = n1 - n2 + 1
-    l2p = round_up(max(n2, CHUNK2), CHUNK2)
+    l2p = round_up(max(n2, chunk), chunk)
     noff_pad = round_up(noff, tile_o)
     l1k = noff_pad + l2p
     return noff, noff_pad, l2p, l1k
@@ -193,18 +198,19 @@ def plan_shapes_v2(n1: int, n2: int, tile_o: int = 2048):
 
 def offset_stats_v2(codes1: np.ndarray, codes2: np.ndarray,
                     tables: ScoringTables, interpret: bool | None = None,
-                    tile_o: int = 2048, shear: str = "reshape"):
+                    tile_o: int = 2048, shear: str = "stride",
+                    chunk: int = CHUNK2):
     from psa_tpu.ops.pallas_sweep import maxrank_from_maxcode
 
     codes1 = np.asarray(codes1, dtype=np.int32)
     codes2 = np.asarray(codes2, dtype=np.int32)
     noff, noff_pad, l2p, l1k = plan_shapes_v2(codes1.shape[0],
-                                              codes2.shape[0], tile_o)
+                                              codes2.shape[0], tile_o, chunk)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     pc3, s1oh_t = _prepare_v2(jnp.asarray(codes1), jnp.asarray(codes2),
-                              jnp.asarray(tables.code), l1k, l2p, shear)
-    out = _sweep_pallas_v2(pc3, s1oh_t, noff_pad, l2p // CHUNK2,
-                           bool(interpret), tile_o, shear)
+                              jnp.asarray(tables.code), l1k, l2p, shear, chunk)
+    out = _sweep_pallas_v2(pc3, s1oh_t, noff_pad, l2p // chunk,
+                           bool(interpret), tile_o, shear, chunk)
     out = np.asarray(out)
     return out[:4, :noff].T.copy(), maxrank_from_maxcode(out[4, :noff])
