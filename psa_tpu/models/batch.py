@@ -174,6 +174,34 @@ def f32_band_epsilon(tables: ScoringTables, l2p: int) -> float:
     return 16.0 * np.float32(np.finfo(np.float32).eps) * max(s, 1.0)
 
 
+def exact_topk_epilogue(stats, tables: ScoringTables, noff, l2p: int,
+                        k: int = TOPK):
+    """Checkable-exact in-graph ranking epilogue (jittable).
+
+    stats: (noff_pad, 5) int32.  Ranks by f32 keyed totals but returns the
+    top-k candidates WITH their exact integer stats plus the f32 near-tie
+    band population `near` — the host re-scores the candidates exactly and
+    can DETECT (near > k) when the f32 ranking was insufficient, so no
+    winner ever depends on f32 rounding (the fix for round-1 ADVICE:
+    f32-ranked flagship winners).
+    """
+    maxrank = stats[:, 4]
+    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
+    diff32 = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    eps = np.float32(f32_band_epsilon(tables, l2p))
+    sign = 1.0 if tables.is_max else -1.0
+    offs = jnp.arange(stats.shape[0], dtype=jnp.int32)
+    total = stats[:, :4].astype(jnp.float32) @ w32 \
+        + diff32[jnp.clip(maxrank, 0, None)]
+    valid = (maxrank >= 0) & (offs < noff)
+    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    best = jnp.max(keyed)
+    near = jnp.sum(keyed >= best - eps)
+    _, topi = jax.lax.top_k(keyed, k)
+    return topi.astype(jnp.int32), stats[topi], near, best
+
+
 def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
                               interpret: bool, k: int = TOPK):
     """Jitted scan returning per query the top-k f32 candidates WITH their
@@ -194,12 +222,6 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     noff_pad = l1k - l2p
     assert noff_pad % 512 == 0 and l2p % CHUNK == 0
     code_tab = jnp.asarray(tables.code)
-    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
-    diff32 = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
-    eps = np.float32(f32_band_epsilon(tables, l2p))
-    sign = 1.0 if tables.is_max else -1.0
-    offs = jnp.arange(noff_pad, dtype=jnp.int32)
 
     @jax.jit
     def run(c1b, c2b, noffs):
@@ -210,15 +232,7 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
             out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
             maxrank = maxrank_from_maxcode(out[4, :])
             stats = jnp.concatenate([out[:4, :], maxrank[None, :]], axis=0).T
-            total = stats[:, :4].astype(jnp.float32) @ w32 \
-                + diff32[jnp.clip(maxrank, 0, None)]
-            valid = (maxrank >= 0) & (offs < noff)
-            keyed = jnp.where(valid, sign * total, -jnp.inf)
-            best = jnp.max(keyed)
-            near = jnp.sum(keyed >= best - eps)
-            topv, topi = jax.lax.top_k(keyed, k)
-            stats_k = stats[topi]
-            return carry, (topi.astype(jnp.int32), stats_k, near, best)
+            return carry, exact_topk_epilogue(stats, tables, noff, l2p, k)
 
         _, (topi, stats_k, near, best) = jax.lax.scan(
             step, 0, (c1b, c2b, noffs))
