@@ -22,9 +22,9 @@ def _env_int(name: str, default: int) -> int:
 @dataclasses.dataclass
 class EngineConfig:
     # Pallas sweep kernel
-    # (the kernel's seq2 chunk is fixed at 128 — the lane width; the packed
-    # shear's int8-in-int32 layout only works there, see ops/pallas_sweep.py)
-    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 2048)  # max offsets per grid program
+    # (seq2 pads to multiples of 128; the kernel internally re-chunks to the
+    # largest supported chunk <= 512, see ops/pallas_sweep.pick_chunk)
+    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 4096)  # max offsets per grid program
     max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 256 * 1024)
 
     # padding buckets

@@ -28,6 +28,7 @@ _lock = threading.Lock()
 _lib = None
 
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 
@@ -114,6 +115,13 @@ def get_lib():
             _i32p, _i32p, ctypes.c_int32, _i8p, _i8p,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p,
         ]
+        lib.psa_rescore_batch.restype = None
+        lib.psa_rescore_batch.argtypes = [
+            _i32p, _i32p, ctypes.c_int32,
+            _f64p, _f64p, _i8p, ctypes.c_int32,
+            _i64p, ctypes.c_int32,
+            _f64p, _i32p, _i32p,
+        ]
         _self_test(lib)
         _lib = lib
         return lib
@@ -167,6 +175,24 @@ def score_offset_native(codes1: np.ndarray, codes2: np.ndarray,
                          int(tables.is_max), offset,
                          ctypes.byref(total), ctypes.byref(coff), ctypes.byref(sc))
     return total.value, coff.value, sc.value, None
+
+
+def rescore_batch_native(codes1: np.ndarray, codes2: np.ndarray,
+                         tables: ScoringTables, cand: np.ndarray):
+    """Batch sequential re-scorer; same contract as oracle.rescore_candidates
+    (bit-identical totals — C++ f64 accumulation in the same order)."""
+    lib = get_lib()
+    codes1 = np.ascontiguousarray(codes1, np.int32)
+    codes2 = np.ascontiguousarray(codes2, np.int32)
+    cand = np.ascontiguousarray(cand, np.int64)
+    pair_w, diff, sub = _flat_tables(tables)
+    k = cand.shape[0]
+    totals = np.empty(k, np.float64)
+    coffs = np.empty(k, np.int32)
+    subs = np.empty(k, np.int32)
+    lib.psa_rescore_batch(codes1, codes2, codes2.shape[0], pair_w, diff, sub,
+                          int(tables.is_max), cand, k, totals, coffs, subs)
+    return totals, coffs.astype(np.int64), subs.astype(np.int64)
 
 
 def offset_stats_native(codes1: np.ndarray, codes2: np.ndarray,

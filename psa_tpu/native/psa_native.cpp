@@ -158,6 +158,26 @@ void psa_score_offset(const int32_t* codes1, const int32_t* codes2, int32_t n2,
                 out_total, out_char_offset, out_sub_code);
 }
 
+// Batch sequential re-scorer: scan_offset over an arbitrary candidate list
+// (ops/select.pick_from_candidates).  OpenMP across candidates; each
+// candidate's f64 accumulation stays sequential, so results are
+// bit-identical to per-offset psa_score_offset calls.
+void psa_rescore_batch(const int32_t* codes1, const int32_t* codes2,
+                       int32_t n2, const double* pair_w, const double* diff,
+                       const int8_t* sub, int32_t is_max,
+                       const int64_t* offsets, int32_t n_cand,
+                       double* out_totals, int32_t* out_char_offsets,
+                       int32_t* out_sub_codes) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) if (n_cand > 16)
+#endif
+    for (int32_t k = 0; k < n_cand; ++k) {
+        scan_offset(codes1, codes2, n2, pair_w, diff, sub, is_max != 0,
+                    static_cast<int32_t>(offsets[k]),
+                    &out_totals[k], &out_char_offsets[k], &out_sub_codes[k]);
+    }
+}
+
 // Per-offset integer stats (counts of 4 sign classes + max rank), matching
 // the device engines' contract — lets tests diff device output against
 // native output on large inputs quickly.

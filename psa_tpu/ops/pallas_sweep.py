@@ -1,32 +1,40 @@
 """The hot Pallas TPU kernel: banded one-hot matmul sweep.
 
 TPU-native replacement for the reference's CUDA grid kernel + tree reductions
-(cuda_funcs.cu:149-264).  Per grid program (one tile of TO offsets),
-for each 128-char chunk of Seq2:
+(cuda_funcs.cu:149-264).  Per grid program (one tile of TO offsets), for each
+CHUNK-char chunk of Seq2:
 
   1. slice the Seq1 one-hot window (32, TO+C) int8 from VMEM,
-  2. int8 MXU contraction against the per-position code columns (32, C):
-       M[ii, oo+ii] = CODE[seq1[base+oo+ii], seq2[chunk+ii]]
+  2. int8 MXU contraction against the per-position code columns (32, C),
+     loaded in REVERSED in-chunk order (j = C-1-i):
+       M[j, w] = CODE[seq1[base+w], seq2[chunk + C-1-j]]
      — one-hot, so every output is the exact table value (single nonzero
      product, no accumulation error),
-  3. align the band with a PACKED-ROW SHEAR: bitcast packs 4 int8 code rows
-     per int32 sublane, masked lane-rotations shift 4 rows at once, and a
-     3-roll byte recombine applies the per-byte residual shift (the TPU
-     answer to CUDA's per-thread strided indexing, cuda_funcs.cu:165-175),
-  4. decode the 4 byte planes on the VPU: packed-field class counting (one
-     int32 sum carries three class counts) and a max-code reduction (the
-     fused code is monotone in substitution rank).
+  3. STRIDED-ROTATE SHEAR: bitcast packs 4 int8 code rows per int32 sublane;
+     because the columns are reversed, the band-alignment shift is *linear*
+     in the row index (slope +4 lanes per packed row), which is exactly one
+     hardware strided rotate (tpu.RotateOp stride/stride_dimension, exposed
+     as pltpu.roll(stride=...)). A 3-roll byte recombine applies the per-byte
+     +b residual. This replaces the round-1 kernel's 5 masked log-rolls
+     (the TPU answer to CUDA's per-thread strided indexing,
+     cuda_funcs.cu:165-175),
+  4. BIT-MASK SWAR decode on the packed planes: the 2-bit class slots
+     (code & 3) are counted with raw bit masks (2 ops per mask, 4 sublane
+     reductions per chunk) + a 16-bit horizontal fold; the max fused code
+     (monotone in substitution rank) reduces via 4-plane elementwise max.
 
 Outputs exact integer per-offset statistics; winner selection stays on the
 host (ops/select.py).  There is no floating-point ambiguity anywhere on the
 device, so the canonical tie-break survives any parallel execution order —
 the property the reference gets from `is_swapable` (cuda_funcs.cu:290-307).
 
-Measured on one TPU v5e chip (131072x8192, 1.0e9 pair-evals): 10.0 ms/sweep
-= 1.0e11 pair-evals/s. The optimization history (each step bit-exact,
-measured via chained-materialized timing — see docs/DESIGN.md §6):
-59 -> 21.6 (lane-direction shear) -> 15.6 (2048 tiles) -> 13.8 (int8 MXU +
-packed-field counts) -> 11.2 (packed-row shear) -> 10.0 ms (max-code rank).
+Measured on one TPU v5e chip (131072x8192, 1.0e9 pair-evals, chained-
+materialized timing — docs/DESIGN.md §6), same-session ladder:
+  round-1 kernel (masked-roll shear, packed-field counts) . 10.2 ms
+  strided-rotate shear + SWAR equality counts, chunk 256 ..  6.64 ms
+  bit-mask counts ......................................... 6.01 ms
+  tile 4096 ............................................... 5.56 ms
+= 1.8e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle.
 """
 
 from __future__ import annotations
@@ -39,20 +47,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from psa_tpu.core.alphabet import NCODES_PAD
+from psa_tpu.core.alphabet import NCODES_PAD, PAD_CODE
 from psa_tpu.core.tables import ScoringTables
 from psa_tpu.ops.common import round_up
 
 from psa_tpu.config import CONFIG
 
 TILE_O = CONFIG.tile_offsets   # default offsets per grid program (PSA_TILE_OFFSETS)
-CHUNK = 128                    # seq2 positions per inner step (= lane width)
+CHUNK = 128                    # seq2 padding granularity (min chunk)
+# 512 is SWAR-safe (per-field counts <= 128 < 256) and bit-exact in
+# interpret mode, but at tile 4096 its VMEM footprint is borderline
+# (~16MB core budget); 256 is the measured-on-chip default.
+MAX_CHUNK = 256
+
+# SWAR constants (packed 4x int8 per int32 lane)
+_H = np.int32(-2139062144)     # 0x80808080
+_L7 = np.int32(0x7F7F7F7F)
+_B1 = np.int32(0x01010101)
+_M16 = np.int32(0x00FF00FF)
+_BYTE3 = np.int32(-16777216)   # 0xFF000000
+
+
+def pick_chunk(l2p: int) -> int:
+    """Largest supported chunk dividing l2p (bigger chunks amortize the
+    per-chunk matmul/shear fixed costs; 256 measured 6.0 vs 6.6 ms at 128)."""
+    c = MAX_CHUNK
+    while c > CHUNK and l2p % c != 0:
+        c //= 2
+    return c
 
 
 def pick_tile(noff_like: int) -> int:
     """Largest tile <= TILE_O dividing a 512-aligned extent (bigger tiles
-    amortize the window overlap: 15.2/17.0/21.6 ms per 1e9-pair sweep at
-    2048/1024/512 on v5e)."""
+    amortize the window overlap: 5.6/6.0/6.6 ms per 1e9-pair sweep at
+    4096/2048/1024 on v5e)."""
     t = TILE_O
     while t > 512 and noff_like % t != 0:
         t //= 2
@@ -66,90 +94,91 @@ def size_tile(noff: int) -> int:
     while t > 512 and noff < 4 * t:
         t //= 2
     return max(t, 512)
+
+
 # Max Seq1 one-hot footprint kept VMEM-resident (int8: 32 * L1K bytes).
 # Beyond this, shard the offset axis (parallel/mesh.py) so each shard's slice
 # fits. Overridable via PSA_MAX_L1_VMEM.
 MAX_L1_VMEM = CONFIG.max_l1_vmem
 
 
-def _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
-                       tile_idx, tile_o: int):
-    """Transposed layout: the band matrix lives as (C, TO+C) so the shear is
-    LANE rotations (cheap on the VPU's lane shifter) and the reductions are
-    sublane reductions — measured 3.3x faster than the row-sheared variant."""
-    o0 = tile_idx * tile_o
-    width = tile_o + CHUNK
+def _fold_fields(s):
+    """Horizontal SWAR fold: sum the 4 byte-fields of packed row-sums.
 
+    Field values <= MAX_CHUNK/4 <= 128, so the 16-bit halves never carry.
+    """
+    s16 = (s & _M16) + (jax.lax.shift_right_logical(s, 8) & _M16)
+    return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
+
+
+def _sum_mask(m):
+    """(rows, T) packed 0/1-per-byte mask -> (1, T) int32 totals."""
+    return _fold_fields(jnp.sum(m, axis=0, keepdims=True))
+
+
+def _shear_stride(m8, width: int, tile_o: int, chunk: int):
+    """One strided rotate + 3 byte-recombine rolls -> packed aligned band.
+
+    Requires pc columns REVERSED (j = C-1-i): the band element for offset o
+    sits at lane o + C-1-j of row j, so the alignment shift is
+    (width-C+1) + j — slope +4 per packed int32 row.
+    """
+    p = pltpu.bitcast(m8, jnp.int32)                      # (C/4, W)
+    p = pltpu.roll(p, width - chunk + 1, 1, stride=4, stride_axis=0)
+    r1 = pltpu.roll(p, 1, 1)
+    r2 = pltpu.roll(p, 2, 1)
+    r3 = pltpu.roll(p, 3, 1)
+    d4 = ((p & 0xFF) | (r1 & 0xFF00) | (r2 & 0xFF0000) | (r3 & _BYTE3))
+    return d4[:, :tile_o]
+
+
+def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
+                  tile_o: int, chunk: int):
+    o0 = pl.program_id(0) * tile_o
+    width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Packed-row shear: codes fit in int8, and bitcasting (C, W) int8 ->
-    # (C/4, W) int32 packs row 4s+b into byte b of packed row s (verified on
-    # hardware AND in interpret mode). Rolling 4 rows at once quarters the
-    # shear traffic (the sweep's dominant cost: 9.4ms of 13.8 unpacked).
-    srow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK // 4, width), 0)
-
     def body(c, _):
-        base = pl.multiple_of(o0 + c * CHUNK, CHUNK)
-        win = s1oh_ref[:, pl.ds(base, width)]               # (32, TO+C) int8
-        pcc = pc_ref[:, pl.ds(c * CHUNK, CHUNK)]            # (32, C) int8
-        # int8 x int8 -> int32 MXU contraction; exact (one-hot: exactly one
-        # nonzero product per output) and measured faster than bf16->f32.
+        base = pl.multiple_of(o0 + c * chunk, chunk)
+        win = s1oh_ref[:, pl.ds(base, width)]             # (32, W) int8
+        pcc = pc_ref[c]                                   # (32, C) int8 rev
         m = jax.lax.dot_general(
             pcc, win,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )                                                    # (C, TO+C)
-        p = pltpu.bitcast(m.astype(jnp.int8), jnp.int32)     # (C/4, TO+C)
-        # Shear step A: shift lanes left by 4*s via log-step masked rolls
-        # (roll left by k == roll right by width - k; pltpu.roll wants
-        # non-negative shifts).
-        b = 1
-        while b < CHUNK // 4:
-            p = jnp.where((srow & b) != 0,
-                          pltpu.roll(p, width - 4 * b, 1), p)
-            b *= 2
-        # Shear step B: byte b needs an extra left shift of b lanes.
-        r1 = pltpu.roll(p, width - 1, 1)
-        r2 = pltpu.roll(p, width - 2, 1)
-        r3 = pltpu.roll(p, width - 3, 1)
-        d4 = ((p & 0xFF) | (r1 & 0xFF00) | (r2 & 0xFF0000)
-              | (r3 & np.int32(-16777216)))                  # (C/4, TO+C)
-        d4 = d4[:, :tile_o]                                  # 4 packed code planes
-
-        # Packed-field class counting per byte plane: code = 1 + cls +
-        # 4*(rank+1), so (d & 3) maps cls0/1/2 -> 1/2/3 and {cls3, inert}
-        # -> 0.  Summing 1 << 8*(d & 3) packs three per-chunk class counts
-        # (each <= 128) into one int32; cls3 falls out of the valid count.
-        # Wraparound at the top field is harmless: fields can't carry.
-        for k in range(4):
-            d = jax.lax.shift_right_logical(d4, 8 * k) & 0xFF  # (C/4, TO)
-            t = d & 3
-            contrib = jnp.where(t > 0, jnp.left_shift(jnp.int32(1), t << 3), 0)
-            packed = jnp.sum(contrib, axis=0, keepdims=True)   # (1, TO)
-            validc = jnp.sum((d > 0).astype(jnp.int32), axis=0, keepdims=True)
-            c0 = (packed >> 8) & 0xFF
-            c1 = (packed >> 16) & 0xFF
-            c2 = (packed >> 24) & 0xFF
-            acc_ref[0:1, :] += c0
-            acc_ref[1:2, :] += c1
-            acc_ref[2:3, :] += c2
-            acc_ref[3:4, :] += validc - c0 - c1 - c2
-            # code = 1 + cls + 4*(rank+1) is monotone in rank (cls < 4), so
-            # tracking max CODE is cheaper than decoding ranks per plane;
-            # wrappers convert via rank = max(((maxcode-1) >> 2) - 1, -1).
-            acc_ref[4:5, :] = jnp.maximum(
-                acc_ref[4:5, :], jnp.max(d, axis=0, keepdims=True)
-            )
+        )                                                 # (C, W) int32
+        p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
+        # max fused code -> best substitution rank (monotone in rank);
+        # int8 reductions aren't implemented in Mosaic, so combine the 4
+        # byte planes elementwise, then one int32 sublane reduction
+        d0 = p & 0xFF
+        d1 = jax.lax.shift_right_logical(p, 8) & 0xFF
+        d2 = jax.lax.shift_right_logical(p, 16) & 0xFF
+        d3 = jax.lax.shift_right_logical(p, 24) & 0xFF
+        dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
+        acc_ref[4:5, :] = jnp.maximum(
+            acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
+        # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
+        # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
+        # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
+        # (2,3), n3 = both; valid = nonzero bytes.
+        t2 = p & (3 * _B1)
+        tb = jax.lax.shift_right_logical(t2, 1)
+        n13 = _sum_mask(t2 & _B1)
+        n23 = _sum_mask(tb & _B1)
+        n3 = _sum_mask(t2 & tb & _B1)
+        hit = (p + _L7) & _H                              # bytes <= 126
+        vv = _sum_mask(jax.lax.shift_right_logical(hit, 7) & _B1)
+        c0 = n13 - n3                                     # cls0 count
+        c1 = n23 - n3                                     # cls1 count
+        acc_ref[0:1, :] += c0
+        acc_ref[1:2, :] += c1
+        acc_ref[2:3, :] += n3                             # cls2 count
+        acc_ref[3:4, :] += vv - c0 - c1 - n3              # cls3 count
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
     out_ref[...] = acc_ref[...]
-
-
-def _sweep_kernel(s1oh_ref, pc_ref, out_ref, acc_ref, *, nchunks: int,
-                  tile_o: int):
-    _sweep_kernel_body(s1oh_ref, pc_ref, out_ref, acc_ref, nchunks=nchunks,
-                       tile_idx=pl.program_id(0), tile_o=tile_o)
 
 
 @functools.partial(jax.jit,
@@ -158,31 +187,40 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
                   tile_o: int | None = None):
     """Returns (8, noff_pad) int32: rows 0-3 = sign-class counts, row 4 =
     max fused CODE (0 = no substitution anywhere; convert to a rank with
-    `maxrank_from_maxcode`), rows 5-7 reserved."""
+    `maxrank_from_maxcode`), rows 5-7 reserved.
+
+    s1oh_t: (32, L1K) int8 one-hot; pc: (32, L2P) int8 per-position codes
+    with L2P = nchunks * CHUNK.  The kernel re-chunks to the largest
+    supported chunk size internally (pc columns reversed per chunk for the
+    strided-rotate shear).
+    """
     if tile_o is None:
         tile_o = pick_tile(noff_pad)
+    l2p = nchunks * CHUNK
+    chunk = pick_chunk(l2p)
+    nck = l2p // chunk
+    pc3 = pc.reshape(32, nck, chunk).transpose(1, 0, 2)[:, :, ::-1]
     ntiles = noff_pad // tile_o
-    kernel = functools.partial(_sweep_kernel, nchunks=nchunks, tile_o=tile_o)
+    kernel = functools.partial(_sweep_kernel, nchunks=nck, tile_o=tile_o,
+                               chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # per-chunk code columns
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full s1 one-hot resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # full pair-code columns
         ],
         out_specs=pl.BlockSpec((8, tile_o), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, noff_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((8, tile_o), jnp.int32)],
         interpret=interpret,
-    )(s1oh_t, pc)
+    )(pc3, s1oh_t)
 
 
 @functools.partial(jax.jit, static_argnames=("l1k", "l2p"))
 def _prepare(codes1p, codes2p, code_tab, l1k: int, l2p: int):
     """Build device operands: transposed Seq1 one-hot + per-position codes."""
-    from psa_tpu.core.alphabet import PAD_CODE
-
     c1 = jnp.full((l1k,), PAD_CODE, jnp.int32).at[: codes1p.shape[0]].set(codes1p)
     s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)      # (32, L1K)
     c2 = jnp.full((l2p,), PAD_CODE, jnp.int32).at[: codes2p.shape[0]].set(codes2p)

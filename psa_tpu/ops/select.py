@@ -32,6 +32,24 @@ from psa_tpu.core.tables import ScoringTables
 
 from psa_tpu.config import CONFIG
 
+_batch_rescorer = None
+
+
+def _get_rescorer():
+    """Native C++ batch re-scorer when buildable (one ctypes call for the
+    whole candidate list — the numpy fallback loops n2 Python-side, which
+    costs ~20us/char of pure call overhead); bit-identical either way."""
+    global _batch_rescorer
+    if _batch_rescorer is None:
+        try:
+            from psa_tpu.native import get_lib, rescore_batch_native
+
+            get_lib()
+            _batch_rescorer = rescore_batch_native
+        except Exception:  # no toolchain / build failure: numpy path
+            _batch_rescorer = rescore_candidates
+    return _batch_rescorer
+
 
 def candidate_epsilon(tables: ScoringTables, n2: int) -> float:
     """Sound bound on |sequential f64 total - grouped f64 total|.
@@ -98,7 +116,7 @@ def pick_from_candidates(codes1: np.ndarray, codes2: np.ndarray,
     (cpu_funcs.c:257-300); the first bit-equal best total is the is_swapable
     winner (cuda_funcs.cu:290-307: strictly better, else lowest offset).
     """
-    seq_totals, coffs, subs = rescore_candidates(codes1, codes2, tables, cand)
+    seq_totals, coffs, subs = _get_rescorer()(codes1, codes2, tables, cand)
     ok = coffs >= 0
     seq_totals = np.where(ok, seq_totals, -np.inf if tables.is_max else np.inf)
     if not ok.any():
