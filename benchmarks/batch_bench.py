@@ -69,8 +69,8 @@ def main():
     offsets, maxranks, totals = (np.asarray(x) for x in res)
     dt = time.perf_counter() - t0
 
-    # bit-exact batched path (device top-k candidates + host sequential
-    # re-score, models/batch.batched_search_exact)
+    # bit-exact batched path: fused single-pallas_call kernel + host
+    # sequential re-score (models/batch.batched_search_exact)
     from psa_tpu.models.batch import batched_search_exact
 
     n2s = np.full(B, n2, np.int32)
@@ -78,7 +78,7 @@ def main():
     t0 = time.perf_counter()
     exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)
     dt_exact = time.perf_counter() - t0
-    log(f"[batch] exact path: {B} queries in {dt_exact:.3f}s -> "
+    log(f"[batch] exact fused path: {B} queries in {dt_exact:.3f}s -> "
         f"{B/dt_exact:.1f} q/s")
 
     # verify exact-path winners (full tuple) against the per-query oracle

@@ -242,8 +242,58 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     return run
 
 
+def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
+                              l2p: int, interpret: bool, k: int = TOPK):
+    """Single-pallas_call batch runner: the whole batch is one kernel grid
+    (ops/pallas_sweep._sweep_pallas_batched, HBM-resident operands with
+    per-chunk DMA), then a vmapped checkable-exact top-k epilogue.
+
+    Replaces the lax.scan-of-sweeps runner whose ~350us/query dispatch
+    overhead dominated serving-sized workloads.
+    """
+    key = ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
+           l2p, interpret, k)
+    cached = _EXACT_RUNNERS.get(key)
+    if cached is not None:
+        return cached
+
+    import jax
+
+    from psa_tpu.core.alphabet import NCODES_PAD
+    from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
+                                          maxrank_from_maxcode, pick_chunk)
+
+    noff_pad = l1k - l2p
+    assert noff_pad % 512 == 0 and l2p % 128 == 0
+    chunk = pick_chunk(l2p)
+    nchunks = l2p // chunk
+    code_tab = jnp.asarray(tables.code)
+
+    @jax.jit
+    def run(c1b, c2b, noffs):
+        s1oh_all = jax.nn.one_hot(c1b.reshape(-1), NCODES_PAD,
+                                  dtype=jnp.int8, axis=0)    # (32, B*l1q)
+        pc = code_tab.astype(jnp.int8)[:, c2b]               # (32, B, l2p)
+        pc_all = (pc.transpose(1, 0, 2)
+                  .reshape(b, 32, nchunks, chunk)
+                  .transpose(0, 2, 1, 3)[:, :, :, ::-1])
+        out = _sweep_pallas_batched(s1oh_all, pc_all, b, noff_pad, l2p,
+                                    interpret)               # (B, 8, NP)
+        maxrank = maxrank_from_maxcode(out[:, 4, :])
+        stats = jnp.concatenate(
+            [out[:, :4, :], maxrank[:, None, :]], axis=1
+        ).transpose(0, 2, 1)                                 # (B, NP, 5)
+        return jax.vmap(
+            lambda s, n: exact_topk_epilogue(s, tables, n, l2p, k)
+        )(stats, noffs)
+
+    _EXACT_RUNNERS[key] = run
+    return run
+
+
 def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
-                         interpret: bool | None = None, k: int = TOPK):
+                         interpret: bool | None = None, k: int = TOPK,
+                         fused: bool = True):
     """Bit-exact batched search: device top-k candidates -> host sequential
     re-scoring (same machinery as the single-query path, ops/select.py).
 
@@ -266,8 +316,12 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     c2b = np.asarray(c2b)
     noffs = np.asarray(noffs)
     n2s = np.asarray(n2s)
-    run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
-                                    bool(interpret), k)
+    if fused:
+        run = make_batched_fused_runner(tables, c1b.shape[0], c1b.shape[1],
+                                        c2b.shape[1], bool(interpret), k)
+    else:
+        run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
+                                        bool(interpret), k)
     topi, stats_k, near, best = (np.asarray(x) for x in
                                  run(jnp.asarray(c1b), jnp.asarray(c2b),
                                      jnp.asarray(noffs)))

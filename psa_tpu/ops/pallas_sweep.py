@@ -132,6 +132,44 @@ def _shear_stride(m8, width: int, tile_o: int, chunk: int):
     return d4[:, :tile_o]
 
 
+def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
+                                tile_o: int, chunk: int):
+    """One chunk's work: MXU contraction, shear, SWAR decode, accumulate."""
+    m = jax.lax.dot_general(
+        pcc, win,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                 # (C, W) int32
+    p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
+    # max fused code -> best substitution rank (monotone in rank);
+    # int8 reductions aren't implemented in Mosaic, so combine the 4
+    # byte planes elementwise, then one int32 sublane reduction
+    d0 = p & 0xFF
+    d1 = jax.lax.shift_right_logical(p, 8) & 0xFF
+    d2 = jax.lax.shift_right_logical(p, 16) & 0xFF
+    d3 = jax.lax.shift_right_logical(p, 24) & 0xFF
+    dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
+    acc_ref[4:5, :] = jnp.maximum(
+        acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
+    # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
+    # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
+    # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
+    # (2,3), n3 = both; valid = nonzero bytes.
+    t2 = p & (3 * _B1)
+    tb = jax.lax.shift_right_logical(t2, 1)
+    n13 = _sum_mask(t2 & _B1)
+    n23 = _sum_mask(tb & _B1)
+    n3 = _sum_mask(t2 & tb & _B1)
+    hit = (p + _L7) & _H                              # bytes <= 126
+    vv = _sum_mask(jax.lax.shift_right_logical(hit, 7) & _B1)
+    c0 = n13 - n3                                     # cls0 count
+    c1 = n23 - n3                                     # cls1 count
+    acc_ref[0:1, :] += c0
+    acc_ref[1:2, :] += c1
+    acc_ref[2:3, :] += n3                             # cls2 count
+    acc_ref[3:4, :] += vv - c0 - c1 - n3              # cls3 count
+
+
 def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
                   tile_o: int, chunk: int):
     o0 = pl.program_id(0) * tile_o
@@ -142,43 +180,85 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
         base = pl.multiple_of(o0 + c * chunk, chunk)
         win = s1oh_ref[:, pl.ds(base, width)]             # (32, W) int8
         pcc = pc_ref[c]                                   # (32, C) int8 rev
-        m = jax.lax.dot_general(
-            pcc, win,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                                 # (C, W) int32
-        p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
-        # max fused code -> best substitution rank (monotone in rank);
-        # int8 reductions aren't implemented in Mosaic, so combine the 4
-        # byte planes elementwise, then one int32 sublane reduction
-        d0 = p & 0xFF
-        d1 = jax.lax.shift_right_logical(p, 8) & 0xFF
-        d2 = jax.lax.shift_right_logical(p, 16) & 0xFF
-        d3 = jax.lax.shift_right_logical(p, 24) & 0xFF
-        dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
-        acc_ref[4:5, :] = jnp.maximum(
-            acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
-        # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
-        # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
-        # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
-        # (2,3), n3 = both; valid = nonzero bytes.
-        t2 = p & (3 * _B1)
-        tb = jax.lax.shift_right_logical(t2, 1)
-        n13 = _sum_mask(t2 & _B1)
-        n23 = _sum_mask(tb & _B1)
-        n3 = _sum_mask(t2 & tb & _B1)
-        hit = (p + _L7) & _H                              # bytes <= 126
-        vv = _sum_mask(jax.lax.shift_right_logical(hit, 7) & _B1)
-        c0 = n13 - n3                                     # cls0 count
-        c1 = n23 - n3                                     # cls1 count
-        acc_ref[0:1, :] += c0
-        acc_ref[1:2, :] += c1
-        acc_ref[2:3, :] += n3                             # cls2 count
-        acc_ref[3:4, :] += vv - c0 - c1 - n3              # cls3 count
+        _contract_decode_accumulate(pcc, win, acc_ref, width=width,
+                                    tile_o=tile_o, chunk=chunk)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
     out_ref[...] = acc_ref[...]
+
+
+def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, win_ref,
+                          pcc_ref, sems, *, nchunks: int, tile_o: int,
+                          chunk: int, l1q: int):
+    """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM and
+    each chunk's Seq1 window / code columns DMA into VMEM scratch.
+
+    Replaces the lax.scan-of-sweeps batch path whose per-query dispatch
+    overhead (~350us) dwarfed the actual work for serving-sized queries;
+    one pallas_call now covers the whole batch.  The HBM residency also
+    means Seq1 length is bounded by HBM, not VMEM.
+    """
+    q = pl.program_id(0)
+    o0 = pl.program_id(1) * tile_o
+    width = tile_o + chunk
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
+        win_dma = pltpu.make_async_copy(
+            s1oh_ref.at[:, pl.ds(base, width)], win_ref, sems.at[0])
+        pcc_dma = pltpu.make_async_copy(
+            pc_ref.at[q, c], pcc_ref, sems.at[1])
+        win_dma.start()
+        pcc_dma.start()
+        win_dma.wait()
+        pcc_dma.wait()
+        _contract_decode_accumulate(pcc_ref[...], win_ref[...], acc_ref,
+                                    width=width, tile_o=tile_o, chunk=chunk)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[0] = acc_ref[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "noff_pad", "l2p", "interpret",
+                                    "tile_o"))
+def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
+                          interpret: bool, tile_o: int | None = None):
+    """Batched sweep -> (B, 8, noff_pad) int32.
+
+    s1oh_all: (32, B * (noff_pad + l2p)) int8 one-hot (queries concatenated,
+    each padded to the same l1q stride); pc_all: (B, nchunks, 32, chunk)
+    int8 code columns, reversed in-chunk (see _shear_stride).
+    """
+    if tile_o is None:
+        tile_o = pick_tile(noff_pad)
+    chunk = pc_all.shape[3]
+    nchunks = pc_all.shape[1]
+    l1q = noff_pad + l2p
+    ntiles = noff_pad // tile_o
+    kernel = functools.partial(_sweep_kernel_batched, nchunks=nchunks,
+                               tile_o=tile_o, chunk=chunk, l1q=l1q)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # pc_all in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # s1oh_all in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile_o), lambda q, t: (q, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, noff_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, tile_o), jnp.int32),
+            pltpu.VMEM((32, tile_o + chunk), jnp.int8),
+            pltpu.VMEM((32, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pc_all, s1oh_all)
 
 
 @functools.partial(jax.jit,

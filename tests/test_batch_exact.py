@@ -27,14 +27,16 @@ def _batch(rng, B, n1, n2, l1k, l2p):
 
 
 @pytest.mark.parametrize("is_max", [False, True])
-def test_batched_exact_matches_single_query(is_max):
+@pytest.mark.parametrize("fused", [True, False])
+def test_batched_exact_matches_single_query(is_max, fused):
     rng = np.random.default_rng(11)
     t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), is_max)
     n1, n2, l2p = 700, 120, 128
     l1k = 1024 + l2p          # noff=581 -> noff_pad=1024 (multiple of 512)
     B = 6
     c1b, c2b, noffs, n2s = _batch(rng, B, n1, n2, l1k, l2p)
-    res = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True)
+    res = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True,
+                               fused=fused)
     assert len(res) == B
     for q in range(B):
         c1, c2 = c1b[q][: n1], c2b[q][: n2]
