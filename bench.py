@@ -126,6 +126,8 @@ def main():
 
     import jax
 
+    from psa_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     backend = jax.default_backend()
     engine = args.engine or ("pallas" if backend == "tpu" else "conv")
     log(f"[bench] backend={backend} devices={jax.devices()} engine={engine}")

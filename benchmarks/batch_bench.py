@@ -37,6 +37,9 @@ def main():
 
     import jax
 
+    from psa_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from psa_tpu.core.alphabet import pad_codes
     from psa_tpu.core.tables import build_tables
     from psa_tpu.models.batch import batched_pallas_winners

@@ -60,6 +60,9 @@ def main():
 
     import jax.numpy as jnp
 
+    from psa_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from psa_tpu.core.alphabet import encode
     from psa_tpu.core.tables import build_tables
     from psa_tpu.parallel.mesh import make_mesh, make_sharded_stats_fn, pad_for_mesh

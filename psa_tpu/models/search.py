@@ -112,6 +112,9 @@ class AlignmentSearchEngine:
             from psa_tpu.native import offset_stats_native
 
             return offset_stats_native(codes1, codes2, self.tables)
+        from psa_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()  # XLA-backed paths from here down
         if backend == "xla":
             from psa_tpu.ops.engine_xla import offset_stats_xla
 

@@ -72,6 +72,10 @@ def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
     if cached is not None:
         return cached
 
+    from psa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     noff_pad = l1p - l2p
     assert noff_pad % (n_shards * 512) == 0, "pad offsets to n_shards*512"
     per_shard = noff_pad // n_shards
