@@ -132,15 +132,31 @@ def _shear_stride(m8, width: int, tile_o: int, chunk: int):
     return d4[:, :tile_o]
 
 
+import os as _os
+
+# experiment toggle: ask the MXU dot for int8 output directly, skipping the
+# (C, W) int32 -> int8 cast relayout (the kernel's largest single data
+# movement). Codes <= 126 so int8 is exact when supported.
+_DOT8 = _os.environ.get("PSA_DOT8", "0") == "1"
+
+
 def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
                                 tile_o: int, chunk: int):
     """One chunk's work: MXU contraction, shear, SWAR decode, accumulate."""
-    m = jax.lax.dot_general(
-        pcc, win,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                                 # (C, W) int32
-    p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
+    if _DOT8:
+        m8 = jax.lax.dot_general(
+            pcc, win,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int8,
+        )                                             # (C, W) int8
+    else:
+        m = jax.lax.dot_general(
+            pcc, win,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                             # (C, W) int32
+        m8 = m.astype(jnp.int8)
+    p = _shear_stride(m8, width, tile_o, chunk)
     # max fused code -> best substitution rank (monotone in rank);
     # int8 reductions aren't implemented in Mosaic, so combine the 4
     # byte planes elementwise, then one int32 sublane reduction

@@ -35,6 +35,20 @@ def test_pick_tile_divides():
         assert extent % t == 0 and 512 <= t <= TILE_O
 
 
+def test_pick_chunk_divides():
+    from psa_tpu.ops.pallas_sweep import MAX_CHUNK, pick_chunk
+
+    for nchunks in range(1, 200):
+        l2p = nchunks * CHUNK
+        c = pick_chunk(l2p)
+        assert l2p % c == 0 and CHUNK <= c <= MAX_CHUNK
+        # maximality: no larger supported chunk divides l2p
+        cc = c * 2
+        while cc <= MAX_CHUNK:
+            assert l2p % cc != 0
+            cc *= 2
+
+
 def test_pad_for_mesh_invariants():
     rng = np.random.default_rng(1)
     for n_shards in (1, 2, 4, 8):
