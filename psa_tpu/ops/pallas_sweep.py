@@ -137,7 +137,23 @@ import os as _os
 # experiment toggle: ask the MXU dot for int8 output directly, skipping the
 # (C, W) int32 -> int8 cast relayout (the kernel's largest single data
 # movement). Codes <= 126 so int8 is exact when supported.
+# MEASURED DEAD END: Mosaic rejects i8 matmul accumulators.
 _DOT8 = _os.environ.get("PSA_DOT8", "0") == "1"
+
+# experiment toggle: count mask bytes with ones(1,C)@mask8 MXU dots instead
+# of VPU sublane reductions + 16-bit folds (a dot over all bytes IS the
+# fold). The masks' bitcast int32->int8 is a bit reinterpretation only.
+_MXC = _os.environ.get("PSA_MXC", "0") == "1"
+
+
+def _count_mxu(mask_i32, ones_row):
+    """Packed 0/1-per-byte mask (C/4, T) int32 -> (1, T) int32 byte count."""
+    m8 = pltpu.bitcast(mask_i32, jnp.int8)            # (C, T) int8, 0/1
+    return jax.lax.dot_general(
+        ones_row, m8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                 # (1, T)
 
 
 def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
@@ -173,11 +189,19 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
     # (2,3), n3 = both; valid = nonzero bytes.
     t2 = p & (3 * _B1)
     tb = jax.lax.shift_right_logical(t2, 1)
-    n13 = _sum_mask(t2 & _B1)
-    n23 = _sum_mask(tb & _B1)
-    n3 = _sum_mask(t2 & tb & _B1)
     hit = (p + _L7) & _H                              # bytes <= 126
-    vv = _sum_mask(jax.lax.shift_right_logical(hit, 7) & _B1)
+    hv = jax.lax.shift_right_logical(hit, 7) & _B1
+    if _MXC:
+        ones_row = jnp.ones((1, chunk), jnp.int8)
+        n13 = _count_mxu(t2 & _B1, ones_row)
+        n23 = _count_mxu(tb & _B1, ones_row)
+        n3 = _count_mxu(t2 & tb & _B1, ones_row)
+        vv = _count_mxu(hv, ones_row)
+    else:
+        n13 = _sum_mask(t2 & _B1)
+        n23 = _sum_mask(tb & _B1)
+        n3 = _sum_mask(t2 & tb & _B1)
+        vv = _sum_mask(hv)
     c0 = n13 - n3                                     # cls0 count
     c1 = n23 - n3                                     # cls1 count
     acc_ref[0:1, :] += c0
