@@ -134,20 +134,20 @@ def _shear_stride(m8, width: int, tile_o: int, chunk: int):
 
 import os as _os
 
-# experiment toggle: ask the MXU dot for int8 output directly, skipping the
-# (C, W) int32 -> int8 cast relayout (the kernel's largest single data
-# movement). Codes <= 126 so int8 is exact when supported.
-# MEASURED DEAD END: Mosaic rejects i8 matmul accumulators.
-_DOT8 = _os.environ.get("PSA_DOT8", "0") == "1"
-
-# experiment toggle: count mask bytes with ones(1,C)@mask8 MXU dots instead
-# of VPU sublane reductions + 16-bit folds (a dot over all bytes IS the
-# fold). The masks' bitcast int32->int8 is a bit reinterpretation only.
-_MXC = _os.environ.get("PSA_MXC", "0") == "1"
+# experiment toggle: accumulate the max code across chunks as a SWAR
+# byte-wise max on the packed band (8 elementwise ops, no per-chunk plane
+# unpack or sublane reduction), decoding once per tile in the caller.
+_SWARMAX = _os.environ.get("PSA_SWARMAX", "0") == "1"
 
 
 def _count_mxu(mask_i32, ones_row):
-    """Packed 0/1-per-byte mask (C/4, T) int32 -> (1, T) int32 byte count."""
+    """Packed 0/1-per-byte mask (C/4, T) int32 -> (1, T) int32 byte count.
+
+    Counting on the MXU instead of VPU sublane reductions measured
+    5.56 -> 5.05 ms on the 1e9-pair sweep: one ones(1,C) @ mask8 dot sums
+    every byte, so the 16-bit horizontal fold disappears too. The bitcast
+    int32 -> int8 is a bit reinterpretation (packed rows ARE the bytes).
+    """
     m8 = pltpu.bitcast(mask_i32, jnp.int8)            # (C, T) int8, 0/1
     return jax.lax.dot_general(
         ones_row, m8,
@@ -156,26 +156,16 @@ def _count_mxu(mask_i32, ones_row):
     )                                                 # (1, T)
 
 
-def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
-                                tile_o: int, chunk: int):
-    """One chunk's work: MXU contraction, shear, SWAR decode, accumulate."""
-    if _DOT8:
-        m8 = jax.lax.dot_general(
-            pcc, win,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int8,
-        )                                             # (C, W) int8
-    else:
-        m = jax.lax.dot_general(
-            pcc, win,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                             # (C, W) int32
-        m8 = m.astype(jnp.int8)
-    p = _shear_stride(m8, width, tile_o, chunk)
-    # max fused code -> best substitution rank (monotone in rank);
-    # int8 reductions aren't implemented in Mosaic, so combine the 4
-    # byte planes elementwise, then one int32 sublane reduction
+def _swar_bytemax(a, b):
+    """Byte-wise max of packed int32 words (all bytes <= 126)."""
+    ge = ((a | _H) - b) & _H            # bit7 per byte iff a_byte >= b_byte
+    e = jax.lax.shift_right_logical(ge, 7)
+    sel = (ge - e) | ge                 # 0xFF per byte where a >= b
+    return b ^ ((a ^ b) & sel)
+
+
+def _plane_max(p, acc_ref):
+    """Per-offset max over the packed band's 4 byte planes + sublanes."""
     d0 = p & 0xFF
     d1 = jax.lax.shift_right_logical(p, 8) & 0xFF
     d2 = jax.lax.shift_right_logical(p, 16) & 0xFF
@@ -183,25 +173,38 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
     dm = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
     acc_ref[4:5, :] = jnp.maximum(
         acc_ref[4:5, :], jnp.max(dm, axis=0, keepdims=True))
+
+
+def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
+                                tile_o: int, chunk: int, macc_ref=None):
+    """One chunk's work: MXU contraction, shear, SWAR decode, accumulate.
+
+    NOTE (measured dead end): asking the dot for int8 output to skip the
+    int32->int8 cast is rejected by Mosaic ("matmul acc must be 32-bit").
+    """
+    m = jax.lax.dot_general(
+        pcc, win,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                 # (C, W) int32
+    p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
+    # max fused code -> best substitution rank (monotone in rank)
+    if _SWARMAX and macc_ref is not None:
+        macc_ref[...] = _swar_bytemax(macc_ref[...], p)
+    else:
+        _plane_max(p, acc_ref)
     # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
     # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
     # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
-    # (2,3), n3 = both; valid = nonzero bytes.
-    t2 = p & (3 * _B1)
-    tb = jax.lax.shift_right_logical(t2, 1)
+    # (2,3), n3 = both; valid = nonzero bytes; counts on the MXU.
+    pb = jax.lax.shift_right_logical(p, 1)
     hit = (p + _L7) & _H                              # bytes <= 126
     hv = jax.lax.shift_right_logical(hit, 7) & _B1
-    if _MXC:
-        ones_row = jnp.ones((1, chunk), jnp.int8)
-        n13 = _count_mxu(t2 & _B1, ones_row)
-        n23 = _count_mxu(tb & _B1, ones_row)
-        n3 = _count_mxu(t2 & tb & _B1, ones_row)
-        vv = _count_mxu(hv, ones_row)
-    else:
-        n13 = _sum_mask(t2 & _B1)
-        n23 = _sum_mask(tb & _B1)
-        n3 = _sum_mask(t2 & tb & _B1)
-        vv = _sum_mask(hv)
+    ones_row = jnp.ones((1, chunk), jnp.int8)
+    n13 = _count_mxu(p & _B1, ones_row)
+    n23 = _count_mxu(pb & _B1, ones_row)
+    n3 = _count_mxu(p & pb & _B1, ones_row)
+    vv = _count_mxu(hv, ones_row)
     c0 = n13 - n3                                     # cls0 count
     c1 = n23 - n3                                     # cls1 count
     acc_ref[0:1, :] += c0
@@ -210,27 +213,32 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
     acc_ref[3:4, :] += vv - c0 - c1 - n3              # cls3 count
 
 
-def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, *, nchunks: int,
-                  tile_o: int, chunk: int):
+def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
+                  nchunks: int, tile_o: int, chunk: int):
     o0 = pl.program_id(0) * tile_o
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    if _SWARMAX:
+        macc_ref[...] = jnp.zeros_like(macc_ref)
 
     def body(c, _):
         base = pl.multiple_of(o0 + c * chunk, chunk)
         win = s1oh_ref[:, pl.ds(base, width)]             # (32, W) int8
         pcc = pc_ref[c]                                   # (32, C) int8 rev
         _contract_decode_accumulate(pcc, win, acc_ref, width=width,
-                                    tile_o=tile_o, chunk=chunk)
+                                    tile_o=tile_o, chunk=chunk,
+                                    macc_ref=macc_ref)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
+    if _SWARMAX:
+        _plane_max(macc_ref[...], acc_ref)
     out_ref[...] = acc_ref[...]
 
 
-def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, win_ref,
-                          pcc_ref, sems, *, nchunks: int, tile_o: int,
-                          chunk: int, l1q: int):
+def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
+                          win_ref, pcc_ref, sems, *, nchunks: int,
+                          tile_o: int, chunk: int, l1q: int):
     """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM and
     each chunk's Seq1 window / code columns DMA into VMEM scratch.
 
@@ -243,6 +251,8 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, win_ref,
     o0 = pl.program_id(1) * tile_o
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    if _SWARMAX:
+        macc_ref[...] = jnp.zeros_like(macc_ref)
 
     def body(c, _):
         base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
@@ -255,10 +265,13 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, win_ref,
         win_dma.wait()
         pcc_dma.wait()
         _contract_decode_accumulate(pcc_ref[...], win_ref[...], acc_ref,
-                                    width=width, tile_o=tile_o, chunk=chunk)
+                                    width=width, tile_o=tile_o, chunk=chunk,
+                                    macc_ref=macc_ref)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
+    if _SWARMAX:
+        _plane_max(macc_ref[...], acc_ref)
     out_ref[0] = acc_ref[...]
 
 
@@ -293,6 +306,7 @@ def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
         out_shape=jax.ShapeDtypeStruct((b, 8, noff_pad), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((8, tile_o), jnp.int32),
+            pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
             pltpu.VMEM((32, tile_o + chunk), jnp.int8),
             pltpu.VMEM((32, chunk), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -333,7 +347,10 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
         out_specs=pl.BlockSpec((8, tile_o), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, noff_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, tile_o), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, tile_o), jnp.int32),
+            pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
+        ],
         interpret=interpret,
     )(pc3, s1oh_t)
 
