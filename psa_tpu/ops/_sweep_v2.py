@@ -1,26 +1,18 @@
-"""Experimental sweep kernel v2: flat-reshape shear + SWAR byte counting.
+"""Kernel experiment archive (round 2).
 
-Three changes vs ops/pallas_sweep.py (each independently toggleable for
-measurement):
+The winning design — strided-rotate shear + bit-mask SWAR decode +
+MXU-assisted counting — GRADUATED into ops/pallas_sweep.py; use that for
+anything real.  This module remains only as the runnable record of the
+measured alternatives (benchmarks/kernel_lab.py --variant v2):
 
-* CHUNK=256 — halves chunk-loop iterations and matmul count; class counts
-  per int32 byte-field stay <= 64 (256 band rows / 4 per byte), summed
-  horizontally with a 16-bit SWAR fold instead of a multiply.
-* shear='reshape' — the diagonal band alignment M[i, o+i] -> A[i, o] is a
-  pure *strided reinterpretation*: flattening the (C+pad, W) band row-major
-  and re-chunking rows at stride W+1 yields A[s, j] = M[s, s+j] exactly
-  (rows beyond C-1 are zero filler that never lands inside j < tile_o).
-  One reshape replaces the 5 masked log-rolls + 3 recombine rolls of the
-  packed shear.  shear='rolls' keeps the round-1 packed-roll scheme as the
-  fallback.
-* SWAR class counting — equality tests run on 4 packed bytes at once
-  ((x + 0x7f7f7f7f) & 0x80808080 marks nonzero bytes); 3 class counts +
-  1 valid count = 4 sublane reductions per chunk instead of 8, and the max
-  code reduces directly on int8 rows (no per-plane unpack).
+* shear='reshape' — the zero-op flat-reshape shear: bit-exact in interpret
+  mode, REJECTED by Mosaic ("infer-vector-layout: unsupported shape cast").
+* shear='stride' at chunk 512 — SWAR-safe and exact, measured 8.37 ms at
+  tile 4096 (vs 5.56 at chunk 256): VMEM pressure.
+* SWAR equality-test counting (this file) — superseded by raw bit masks
+  (6.64 -> 6.01 ms) and then MXU dots (5.05 ms), both in pallas_sweep.
 
-Correctness is bit-for-bit vs the round-1 kernel (tests/test_engines
-differential suite); this module graduates into pallas_sweep.py once the
-TPU timings justify it.
+Timing ladder and dead-end list: docs/DESIGN.md §6 and TODO.md.
 """
 
 from __future__ import annotations

@@ -18,10 +18,11 @@ CHUNK-char chunk of Seq2:
      +b residual. This replaces the round-1 kernel's 5 masked log-rolls
      (the TPU answer to CUDA's per-thread strided indexing,
      cuda_funcs.cu:165-175),
-  4. BIT-MASK SWAR decode on the packed planes: the 2-bit class slots
-     (code & 3) are counted with raw bit masks (2 ops per mask, 4 sublane
-     reductions per chunk) + a 16-bit horizontal fold; the max fused code
-     (monotone in substitution rank) reduces via 4-plane elementwise max.
+  4. BIT-MASK decode on the packed planes with MXU-ASSISTED COUNTING: the
+     2-bit class slots (code & 3) become 0/1-per-byte masks (2 ops each)
+     that one ones(1,C) @ mask8 MXU dot each sums over every byte; the max
+     fused code (monotone in substitution rank) accumulates across chunks
+     as a SWAR byte-wise max on the packed band, decoded once per tile.
 
 Outputs exact integer per-offset statistics; winner selection stays on the
 host (ops/select.py).  There is no floating-point ambiguity anywhere on the
@@ -34,7 +35,10 @@ materialized timing — docs/DESIGN.md §6), same-session ladder:
   strided-rotate shear + SWAR equality counts, chunk 256 ..  6.64 ms
   bit-mask counts ......................................... 6.01 ms
   tile 4096 ............................................... 5.56 ms
-= 1.8e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle.
+  MXU-assisted mask counting .............................. 5.05 ms
+  SWAR byte-max accumulation .............................. 4.94 ms
+= 2.0e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle
+(oracle-checked on hardware, not just interpret mode).
 """
 
 from __future__ import annotations
@@ -64,7 +68,6 @@ MAX_CHUNK = 256
 _H = np.int32(-2139062144)     # 0x80808080
 _L7 = np.int32(0x7F7F7F7F)
 _B1 = np.int32(0x01010101)
-_M16 = np.int32(0x00FF00FF)
 _BYTE3 = np.int32(-16777216)   # 0xFF000000
 
 
@@ -102,20 +105,6 @@ def size_tile(noff: int) -> int:
 MAX_L1_VMEM = CONFIG.max_l1_vmem
 
 
-def _fold_fields(s):
-    """Horizontal SWAR fold: sum the 4 byte-fields of packed row-sums.
-
-    Field values <= MAX_CHUNK/4 <= 128, so the 16-bit halves never carry.
-    """
-    s16 = (s & _M16) + (jax.lax.shift_right_logical(s, 8) & _M16)
-    return (s16 + jax.lax.shift_right_logical(s16, 16)) & 0xFFFF
-
-
-def _sum_mask(m):
-    """(rows, T) packed 0/1-per-byte mask -> (1, T) int32 totals."""
-    return _fold_fields(jnp.sum(m, axis=0, keepdims=True))
-
-
 def _shear_stride(m8, width: int, tile_o: int, chunk: int):
     """One strided rotate + 3 byte-recombine rolls -> packed aligned band.
 
@@ -130,14 +119,6 @@ def _shear_stride(m8, width: int, tile_o: int, chunk: int):
     r3 = pltpu.roll(p, 3, 1)
     d4 = ((p & 0xFF) | (r1 & 0xFF00) | (r2 & 0xFF0000) | (r3 & _BYTE3))
     return d4[:, :tile_o]
-
-
-import os as _os
-
-# experiment toggle: accumulate the max code across chunks as a SWAR
-# byte-wise max on the packed band (8 elementwise ops, no per-chunk plane
-# unpack or sublane reduction), decoding once per tile in the caller.
-_SWARMAX = _os.environ.get("PSA_SWARMAX", "0") == "1"
 
 
 def _count_mxu(mask_i32, ones_row):
@@ -188,11 +169,11 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
         preferred_element_type=jnp.int32,
     )                                                 # (C, W) int32
     p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
-    # max fused code -> best substitution rank (monotone in rank)
-    if _SWARMAX and macc_ref is not None:
-        macc_ref[...] = _swar_bytemax(macc_ref[...], p)
-    else:
-        _plane_max(p, acc_ref)
+    # max fused code (monotone in substitution rank): accumulate byte-wise
+    # across chunks on the packed band — 8 elementwise ops, no per-chunk
+    # plane unpack or sublane reduction (5.05 -> 4.94 ms); the caller
+    # decodes macc once per tile via _plane_max
+    macc_ref[...] = _swar_bytemax(macc_ref[...], p)
     # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
     # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
     # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
@@ -218,8 +199,7 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
     o0 = pl.program_id(0) * tile_o
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    if _SWARMAX:
-        macc_ref[...] = jnp.zeros_like(macc_ref)
+    macc_ref[...] = jnp.zeros_like(macc_ref)
 
     def body(c, _):
         base = pl.multiple_of(o0 + c * chunk, chunk)
@@ -231,8 +211,7 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    if _SWARMAX:
-        _plane_max(macc_ref[...], acc_ref)
+    _plane_max(macc_ref[...], acc_ref)
     out_ref[...] = acc_ref[...]
 
 
@@ -251,8 +230,7 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
     o0 = pl.program_id(1) * tile_o
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    if _SWARMAX:
-        macc_ref[...] = jnp.zeros_like(macc_ref)
+    macc_ref[...] = jnp.zeros_like(macc_ref)
 
     def body(c, _):
         base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
@@ -270,8 +248,7 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    if _SWARMAX:
-        _plane_max(macc_ref[...], acc_ref)
+    _plane_max(macc_ref[...], acc_ref)
     out_ref[0] = acc_ref[...]
 
 
