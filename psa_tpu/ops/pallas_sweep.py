@@ -232,17 +232,29 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     macc_ref[...] = jnp.zeros_like(macc_ref)
 
-    def body(c, _):
+    def dmas(c, slot):
         base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
-        win_dma = pltpu.make_async_copy(
-            s1oh_ref.at[:, pl.ds(base, width)], win_ref, sems.at[0])
-        pcc_dma = pltpu.make_async_copy(
-            pc_ref.at[q, c], pcc_ref, sems.at[1])
-        win_dma.start()
-        pcc_dma.start()
-        win_dma.wait()
-        pcc_dma.wait()
-        _contract_decode_accumulate(pcc_ref[...], win_ref[...], acc_ref,
+        return (pltpu.make_async_copy(s1oh_ref.at[:, pl.ds(base, width)],
+                                      win_ref.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(pc_ref.at[q, c],
+                                      pcc_ref.at[slot], sems.at[slot, 1]))
+
+    # double-buffered chunk pipeline: start c+1's copies before computing c
+    for d in dmas(0, 0):
+        d.start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            for d in dmas(c + 1, nxt):
+                d.start()
+
+        for d in dmas(c, slot):
+            d.wait()
+        _contract_decode_accumulate(pcc_ref[slot], win_ref[slot], acc_ref,
                                     width=width, tile_o=tile_o, chunk=chunk,
                                     macc_ref=macc_ref)
         return 0
@@ -284,9 +296,9 @@ def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
         scratch_shapes=[
             pltpu.VMEM((8, tile_o), jnp.int32),
             pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
-            pltpu.VMEM((32, tile_o + chunk), jnp.int8),
-            pltpu.VMEM((32, chunk), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 32, tile_o + chunk), jnp.int8),  # double-buffered
+            pltpu.VMEM((2, 32, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(pc_all, s1oh_all)
