@@ -95,8 +95,9 @@ def main():
         counts, maxrank = offset_stats_numpy(c1b[q][: n1], c2b[q][: n2], tables)
         ref = select_best(counts, maxrank, tables, c1b[q][: n1], c2b[q][: n2])
         r = exact[q]
-        if (r.offset, r.char_offset, r.sub_code, r.score) != (
-                ref.offset, ref.char_offset, ref.sub_code, ref.score):
+        got = (None if r is None
+               else (r.offset, r.char_offset, r.sub_code, r.score))
+        if got != (ref.offset, ref.char_offset, ref.sub_code, ref.score):
             bad += 1
             log(f"[batch] EXACT MISMATCH q={q}: got {r} want {ref}")
         if int(offsets[q]) != ref.offset:

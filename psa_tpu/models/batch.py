@@ -73,19 +73,11 @@ def batched_sharded_stats(c1b: jnp.ndarray, c2b: jnp.ndarray,
 def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
                            noffs: jnp.ndarray):
     """In-graph per-query winners: (B,) offsets, (B,) maxranks, (B,) f32 totals."""
-    w = jnp.asarray(tables.w_signed.astype(np.float32))
-    diff_vals = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
-    )
-    counts = stats[..., :4].astype(jnp.float32)
+    from psa_tpu.ops.common import keyed_f32_totals
+
     maxrank = stats[..., 4]
-    total = counts @ w + diff_vals[jnp.clip(maxrank, 0, None)]
-    n = stats.shape[1]
-    offs = jnp.arange(n, dtype=jnp.int32)[None, :]
-    valid = (maxrank >= 0) & (offs < noffs[:, None])
-    sign = 1.0 if tables.is_max else -1.0
-    keyed = jnp.where(valid, sign * total, -jnp.inf)
-    best = jnp.argmax(keyed, axis=1)
+    keyed, total = keyed_f32_totals(stats[..., :4], maxrank, tables, noffs)
+    best = jnp.argmax(keyed, axis=1)  # first occurrence = lowest offset
     bi = jnp.arange(stats.shape[0])
     return best, maxrank[bi, best], total[bi, best]
 
@@ -185,17 +177,10 @@ def exact_topk_epilogue(stats, tables: ScoringTables, noff, l2p: int,
     winner ever depends on f32 rounding (the fix for round-1 ADVICE:
     f32-ranked flagship winners).
     """
-    maxrank = stats[:, 4]
-    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
-    diff32 = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    from psa_tpu.ops.common import keyed_f32_totals
+
     eps = np.float32(f32_band_epsilon(tables, l2p))
-    sign = 1.0 if tables.is_max else -1.0
-    offs = jnp.arange(stats.shape[0], dtype=jnp.int32)
-    total = stats[:, :4].astype(jnp.float32) @ w32 \
-        + diff32[jnp.clip(maxrank, 0, None)]
-    valid = (maxrank >= 0) & (offs < noff)
-    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    keyed, _ = keyed_f32_totals(stats[:, :4], stats[:, 4], tables, noff)
     best = jnp.max(keyed)
     near = jnp.sum(keyed >= best - eps)
     _, topi = jax.lax.top_k(keyed, k)
@@ -401,12 +386,12 @@ def search_batch(queries, backend: str = "auto",
             for i, r in zip(idxs, rs):
                 results[i] = r
         else:
-            eng_backend = backend if backend != "auto" else "auto"
+            # one engine per bucket: the key guarantees shared (weights, mode)
+            eng = AlignmentSearchEngine(np.asarray(w), is_max,
+                                        backend=backend,
+                                        strict_alphabet=strict_alphabet)
             for i in idxs:
                 q = queries[i]
-                eng = AlignmentSearchEngine(q.weights, q.is_max,
-                                            backend=eng_backend,
-                                            strict_alphabet=strict_alphabet)
                 try:
                     results[i] = eng.search(q.seq1, q.seq2)
                 except NoMutationFound:

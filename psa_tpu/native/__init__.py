@@ -42,10 +42,28 @@ def _cache_dir() -> str:
     return os.path.join(xdg, "psa_tpu")
 
 
+def _cpu_tag() -> str:
+    """CPU-identity fingerprint: the build uses -march=native, and a cache
+    dir on a shared home could otherwise hand a foreign-ISA binary to a
+    different machine (SIGILL that no except-clause can catch)."""
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    ident += line
+                    break
+    except OSError:
+        ident += platform.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:8]
+
+
 def _lib_path() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    return os.path.join(_cache_dir(), f"libpsa-{digest}.so")
+    return os.path.join(_cache_dir(), f"libpsa-{digest}-{_cpu_tag()}.so")
 
 
 def _build(lib_path: str) -> None:

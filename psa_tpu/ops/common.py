@@ -25,6 +25,32 @@ def bucket_len(n: int, floor: int = 512, multiple: int = LANE) -> int:
     return b
 
 
+def keyed_f32_totals(counts, maxrank, tables, noff):
+    """f32 in-graph ranking totals (jittable; shared by every device path).
+
+    counts: (..., N, 4) int; maxrank: (..., N) int; noff: scalar or (...,)
+    true offset counts.  Returns (keyed, total): `total` is the f32
+    post-substitution score per offset and `keyed` is sign-folded (argmax =
+    mode-best) with invalid offsets (no substitution / padding) at -inf.
+    Ranking in f32 is approximate by design — exactness-critical callers
+    pair this with integer stats + host re-scoring (ops/select.py,
+    models/batch.exact_topk_epilogue's near-tie band).
+    """
+    import jax.numpy as jnp
+
+    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
+    diff32 = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    total = counts.astype(jnp.float32) @ w32 \
+        + diff32[jnp.clip(maxrank, 0, None)]
+    offs = jnp.arange(maxrank.shape[-1], dtype=jnp.int32)
+    noff_arr = jnp.asarray(noff, dtype=jnp.int32)
+    valid = (maxrank >= 0) & (offs < noff_arr[..., None])
+    sign = 1.0 if tables.is_max else -1.0
+    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    return keyed, total
+
+
 def pad_query(codes1: np.ndarray, codes2: np.ndarray,
               floor: int | None = None) -> tuple[np.ndarray, np.ndarray, int]:
     """Pad both sequences to bucketed lengths; returns (c1p, c2p, noff)."""

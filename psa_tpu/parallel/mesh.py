@@ -168,18 +168,9 @@ def device_reduce_winner(stats: jnp.ndarray, tables: ScoringTables, noff: int):
     Returns (offset, maxrank, total_f32). Used by throughput paths that must
     avoid host transfers; exactness-critical flows use ops/select.py instead.
     """
-    w = tables.w_signed.astype(np.float32)
-    diff_vals = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]])
-    )
-    counts = stats[:, :4].astype(jnp.float32)
+    from psa_tpu.ops.common import keyed_f32_totals
+
     maxrank = stats[:, 4]
-    score = counts @ jnp.asarray(w)
-    total = score + diff_vals[jnp.clip(maxrank, 0, None)]
-    n = stats.shape[0]
-    offs = jnp.arange(n, dtype=jnp.int32)
-    valid = (maxrank >= 0) & (offs < noff)
-    sign = 1.0 if tables.is_max else -1.0
-    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    keyed, total = keyed_f32_totals(stats[:, :4], maxrank, tables, noff)
     best = jnp.argmax(keyed)  # first occurrence = lowest offset on ties
     return best, maxrank[best], total[best]

@@ -90,17 +90,46 @@ def broadcast_query(query=None):
 
 
 def run_distributed_search(input_path: str, output_path: str,
-                           backend_kernel: str = "auto") -> int:
+                           backend_kernel: str = "auto",
+                           lenient: bool = False) -> int:
     """Full multi-host flow: proc-0 read -> broadcast -> global-mesh sharded
-    search -> proc-0 write. Returns 0/1 like the CLI."""
+    search -> proc-0 write. Returns 0/1 like the CLI; raises the primary's
+    read/validation error on EVERY process (a status broadcast precedes the
+    query broadcast, so a bad input file fails all ranks promptly instead
+    of stranding the others inside broadcast_one_to_all)."""
     import jax
 
+    from psa_tpu.core.alphabet import validate
     from psa_tpu.core.result import NoMutationFound
     from psa_tpu.core.tables import build_tables
     from psa_tpu.parallel.mesh import make_mesh, search_sharded
     from psa_tpu.utils.io import read_input, write_output
 
-    query = read_input(input_path) if is_primary() else None
+    query = None
+    status = 0
+    if is_primary():
+        try:
+            query = read_input(input_path)
+            if not lenient and not (validate(query.seq1)
+                                    and validate(query.seq2)):
+                status = 3
+        except FileNotFoundError:
+            status = 1
+        except ValueError:
+            status = 2
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        status = int(multihost_utils.broadcast_one_to_all(
+            np.array([status], np.int32))[0])
+    if status == 1:
+        raise FileNotFoundError(input_path)
+    if status == 2:
+        raise ValueError(f"bad input file `{input_path}`")
+    if status == 3:
+        raise ValueError("sequences must contain only A-Z and '-' "
+                         "(pass --lenient to accept reference-UB inputs)")
+
     if jax.process_count() > 1:
         w, c1, c2, is_max = broadcast_query(query)
     else:

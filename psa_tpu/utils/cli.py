@@ -221,7 +221,8 @@ def _main_batch(args) -> int:
         print(f"{len(cases)} cases -> {outdir}/ "
               f"({n_missing} without mutation)", file=sys.stderr)
         print("total time: %g" % elapsed)
-    return 0
+    # same contract as single-case mode: no-mutation cases signal exit 1
+    return 1 if n_missing else 0
 
 
 def _main_distributed(args) -> int:
@@ -243,12 +244,13 @@ def _main_distributed(args) -> int:
     t0 = time.perf_counter()
     try:
         code = multihost.run_distributed_search(args.input, args.output,
-                                                backend_kernel=kernel)
+                                                backend_kernel=kernel,
+                                                lenient=args.lenient)
     except FileNotFoundError:
         print(f"error: cannot open input file `{args.input}`", file=sys.stderr)
         return 2
     except ValueError as e:
-        print(f"error: bad input file `{args.input}`: {e}", file=sys.stderr)
+        print(f"error: {e}", file=sys.stderr)
         return 2
     elapsed = time.perf_counter() - t0
     if multihost.is_primary() and not args.quiet:

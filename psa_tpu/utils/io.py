@@ -63,11 +63,17 @@ def parse_cases(text: str) -> list[Query]:
                                dtype=np.float64)
         except ValueError:
             break  # scratchpad junk after the last complete record
-        seq1, seq2 = tokens[i + 4], tokens[i + 5]
+        seq1, seq2, mode = tokens[i + 4], tokens[i + 5], tokens[i + 6]
+        # Records after the first must carry a real mode token, otherwise
+        # trailing numeric scratchpad junk would fabricate bogus cases.
+        # (The FIRST record mirrors read_input/the reference: any token
+        # that isn't "maximum" means minimum, cpu_funcs.c:365.)
+        if i > 0 and mode not in ("maximum", "minimum"):
+            break
         if len(seq2) > len(seq1):
             raise ValueError(f"case {len(cases)}: seq2 longer than seq1")
         cases.append(Query(weights=weights, seq1=seq1, seq2=seq2,
-                           is_max=tokens[i + 6] == Query.MAXIMUM_STR))
+                           is_max=mode == Query.MAXIMUM_STR))
         i += 7
     if not cases:
         raise ValueError("no complete 7-token case records found")

@@ -54,22 +54,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.platform:
         common += ["--platform", args.platform]
 
+    import tempfile
+
     procs = []
+    logs = []
     for i in range(n):
         cmd = common + ["--process-id", str(i)]
         if i == 0:
             procs.append(subprocess.Popen(cmd))
+            logs.append(None)
         else:
-            procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                          stderr=subprocess.STDOUT, text=True))
+            # spool non-primary output to a temp file — a PIPE would fill
+            # and deadlock the rank if it logs more than the pipe buffer
+            f = tempfile.TemporaryFile(mode="w+")
+            procs.append(subprocess.Popen(cmd, stdout=f, stderr=f))
+            logs.append(f)
     rc = procs[0].wait()
     for i, p in enumerate(procs[1:], start=1):
         p.wait()
+        f = logs[i]
         if p.returncode not in (0, rc):
-            out = p.stdout.read() if p.stdout else ""
-            print(f"[psa-dist] rank {i} exited {p.returncode}:\n{out}",
+            f.seek(0)
+            print(f"[psa-dist] rank {i} exited {p.returncode}:\n{f.read()}",
                   file=sys.stderr)
             rc = rc or p.returncode
+        f.close()
     return rc
 
 

@@ -119,6 +119,19 @@ def test_parse_cases_rejects_empty():
         parse_cases("1 2 3")
 
 
+def test_parse_cases_ignores_numeric_junk_tail():
+    # a >=7-token numeric stats row after real cases must not fabricate a
+    # bogus case (the mode-token guard): only the real record survives
+    text = "1 3 4 2\nABCDE\nABC\nminimum\n1 2 3 4 5 6 7\n"
+    cases = parse_cases(text)
+    assert len(cases) == 1 and cases[0].seq1 == "ABCDE"
+
+    # but the FIRST record keeps the reference's lenient mode semantics
+    # (any non-"maximum" token = minimum, cpu_funcs.c:365)
+    cases = parse_cases("1 3 4 2 ABCDE ABC garbage")
+    assert len(cases) == 1 and not cases[0].is_max
+
+
 def test_cli_case_selector(tmp_path):
     from psa_tpu.utils.cli import main
 
