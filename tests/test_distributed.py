@@ -79,6 +79,24 @@ def test_two_process_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_bad_input_fails_all_ranks(tmp_path):
+    """Primary read failure must propagate: the status broadcast preceding
+    the query broadcast makes every rank exit 2 promptly instead of
+    stranding rank 1 inside broadcast_one_to_all."""
+    port = _free_port()
+    out = tmp_path / "out.txt"
+    base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
+            "--coordinator", f"localhost:{port}", "--num-processes", "2",
+            "--platform", "cpu", "--backend", "xla", "-o", str(out)]
+    cmds = [base + ["--process-id", str(i), "/nonexistent/input.txt"]
+            for i in range(2)]
+    rcs, outs = _spawn(cmds, timeout=120)
+    assert rcs == [2, 2], f"{rcs}:\n{outs[0]}\n---\n{outs[1]}"
+    assert "cannot open input file" in outs[0]
+    assert not out.exists()
+
+
+@pytest.mark.slow
 def test_psa_dist_launcher(tmp_path):
     """The mpiexec analog end-to-end: psa-dist -np 2 on the golden input."""
     out = tmp_path / "out.txt"
