@@ -388,21 +388,36 @@ def plan_shapes(n1: int, n2: int):
     return noff, noff_pad, l2p, l1k
 
 
+@functools.partial(jax.jit, static_argnames=("b", "noff_pad", "l2p",
+                                             "interpret", "tile_o"))
+def _sweep_pallas_hbm1(s1oh_t, pc, b: int, noff_pad: int, l2p: int,
+                       interpret: bool, tile_o: int | None = None):
+    """Single-query HBM-streaming sweep via the batched kernel (B=1):
+    the one-hot stays in HBM and each chunk window DMAs into VMEM, so Seq1
+    length is bounded by HBM — no VMEM cap, no sharding required."""
+    chunk = pick_chunk(l2p)
+    nck = l2p // chunk
+    pc_all = pc.reshape(32, nck, chunk).transpose(1, 0, 2)[None, :, :, ::-1]
+    return _sweep_pallas_batched(s1oh_t, pc_all, 1, noff_pad, l2p,
+                                 interpret, tile_o)[0]
+
+
 def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
                         tables: ScoringTables, interpret: bool | None = None):
     codes1 = np.asarray(codes1, dtype=np.int32)
     codes2 = np.asarray(codes2, dtype=np.int32)
     noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0], codes2.shape[0])
-    if l1k > MAX_L1_VMEM:
-        raise ValueError(
-            f"seq1 window {l1k} exceeds single-kernel VMEM budget {MAX_L1_VMEM}; "
-            "use the sharded search (psa_tpu.parallel.mesh) which slices seq1 "
-            "per offset shard"
-        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s1oh_t, pc = _prepare(jnp.asarray(codes1), jnp.asarray(codes2),
                           jnp.asarray(tables.code), l1k, l2p)
-    out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, bool(interpret))
+    if l1k > MAX_L1_VMEM:
+        # beyond the VMEM-resident budget, stream the Seq1 window per chunk
+        # from HBM (the batched kernel's DMA path with B=1)
+        out = _sweep_pallas_hbm1(s1oh_t, pc, 1, noff_pad, l2p,
+                                 bool(interpret))
+    else:
+        out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK,
+                            bool(interpret))
     out = np.asarray(out)
     return out[:4, :noff].T.copy(), maxrank_from_maxcode(out[4, :noff])

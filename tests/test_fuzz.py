@@ -72,6 +72,25 @@ def test_fuzz_pallas_multitile_stats(seed, is_max):
 
 
 @pytest.mark.slow
+def test_hbm_streaming_path_matches_oracle(monkeypatch):
+    """Seq1 beyond the VMEM-resident budget routes through the batched
+    kernel's HBM-streaming DMA path (B=1) and must stay bit-exact."""
+    import psa_tpu.ops.pallas_sweep as ps
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.tables import build_tables
+
+    rng = np.random.default_rng(9)
+    c1 = random_codes(rng, 9000, 0.05)
+    c2 = random_codes(rng, 700, 0.05)
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    rc, rm = offset_stats_numpy(c1, c2, t)
+    monkeypatch.setattr(ps, "MAX_L1_VMEM", 1024)
+    counts, maxrank = ps.offset_stats_pallas(c1, c2, t, interpret=True)
+    np.testing.assert_array_equal(counts, rc)
+    np.testing.assert_array_equal(maxrank, rm)
+
+
+@pytest.mark.slow
 def test_fuzz_max_mode_season():
     """MAX-mode-heavy season: round-1 WEIGHT_SETS and fuzz skewed MIN."""
     rng = np.random.default_rng(55)
