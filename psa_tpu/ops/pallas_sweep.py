@@ -157,7 +157,8 @@ def _plane_max(p, acc_ref):
 
 
 def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
-                                tile_o: int, chunk: int, macc_ref=None):
+                                tile_o: int, chunk: int, macc_ref=None,
+                                with_valid: bool = True):
     """One chunk's work: MXU contraction, shear, SWAR decode, accumulate.
 
     NOTE (measured dead end): asking the dot for int8 output to skip the
@@ -179,23 +180,29 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
     # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
     # (2,3), n3 = both; valid = nonzero bytes; counts on the MXU.
     pb = jax.lax.shift_right_logical(p, 1)
-    hit = (p + _L7) & _H                              # bytes <= 126
-    hv = jax.lax.shift_right_logical(hit, 7) & _B1
     ones_row = jnp.ones((1, chunk), jnp.int8)
     n13 = _count_mxu(p & _B1, ones_row)
     n23 = _count_mxu(pb & _B1, ones_row)
     n3 = _count_mxu(p & pb & _B1, ones_row)
-    vv = _count_mxu(hv, ones_row)
     c0 = n13 - n3                                     # cls0 count
     c1 = n23 - n3                                     # cls1 count
     acc_ref[0:1, :] += c0
     acc_ref[1:2, :] += c1
     acc_ref[2:3, :] += n3                             # cls2 count
-    acc_ref[3:4, :] += vv - c0 - c1 - n3              # cls3 count
+    if with_valid:
+        # valid = nonzero bytes; cls3 = valid - cls0 - cls1 - cls2. Only
+        # needed when the input may contain OTHER (out-of-range) chars —
+        # for clean inputs the wrapper reconstructs cls3 as n2 - the rest
+        # (every real pair position is valid), saving this mask + dot.
+        hit = (p + _L7) & _H                          # bytes <= 126
+        hv = jax.lax.shift_right_logical(hit, 7) & _B1
+        vv = _count_mxu(hv, ones_row)
+        acc_ref[3:4, :] += vv - c0 - c1 - n3          # cls3 count
 
 
 def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
-                  nchunks: int, tile_o: int, chunk: int):
+                  nchunks: int, tile_o: int, chunk: int,
+                  with_valid: bool = True):
     o0 = pl.program_id(0) * tile_o
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -207,7 +214,7 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
         pcc = pc_ref[c]                                   # (32, C) int8 rev
         _contract_decode_accumulate(pcc, win, acc_ref, width=width,
                                     tile_o=tile_o, chunk=chunk,
-                                    macc_ref=macc_ref)
+                                    macc_ref=macc_ref, with_valid=with_valid)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -305,9 +312,10 @@ def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("noff_pad", "nchunks", "interpret", "tile_o"))
+                   static_argnames=("noff_pad", "nchunks", "interpret",
+                                    "tile_o", "with_valid"))
 def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
-                  tile_o: int | None = None):
+                  tile_o: int | None = None, with_valid: bool = True):
     """Returns (8, noff_pad) int32: rows 0-3 = sign-class counts, row 4 =
     max fused CODE (0 = no substitution anywhere; convert to a rank with
     `maxrank_from_maxcode`), rows 5-7 reserved.
@@ -325,7 +333,7 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
     pc3 = pc.reshape(32, nck, chunk).transpose(1, 0, 2)[:, :, ::-1]
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel, nchunks=nck, tile_o=tile_o,
-                               chunk=chunk)
+                               chunk=chunk, with_valid=with_valid)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -404,11 +412,18 @@ def _sweep_pallas_hbm1(s1oh_t, pc, b: int, noff_pad: int, l2p: int,
 
 def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
                         tables: ScoringTables, interpret: bool | None = None):
+    from psa_tpu.core.alphabet import OTHER_CODE
+
     codes1 = np.asarray(codes1, dtype=np.int32)
     codes2 = np.asarray(codes2, dtype=np.int32)
-    noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0], codes2.shape[0])
+    n2 = int(codes2.shape[0])
+    noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0], n2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Clean inputs (no out-of-range chars — the strict-alphabet default):
+    # every real pair position is valid, so cls3 = n2 - cls0 - cls1 - cls2
+    # on the host and the kernel skips its valid-count mask + dot.
+    clean = not (np.any(codes1 == OTHER_CODE) or np.any(codes2 == OTHER_CODE))
     s1oh_t, pc = _prepare(jnp.asarray(codes1), jnp.asarray(codes2),
                           jnp.asarray(tables.code), l1k, l2p)
     if l1k > MAX_L1_VMEM:
@@ -416,8 +431,12 @@ def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
         # from HBM (the batched kernel's DMA path with B=1)
         out = _sweep_pallas_hbm1(s1oh_t, pc, 1, noff_pad, l2p,
                                  bool(interpret))
+        clean = False  # batched kernel keeps the valid count in-kernel
     else:
         out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK,
-                            bool(interpret))
+                            bool(interpret), with_valid=not clean)
     out = np.asarray(out)
-    return out[:4, :noff].T.copy(), maxrank_from_maxcode(out[4, :noff])
+    counts = out[:4, :noff].T.copy()
+    if clean:
+        counts[:, 3] = n2 - counts[:, 0] - counts[:, 1] - counts[:, 2]
+    return counts, maxrank_from_maxcode(out[4, :noff])
