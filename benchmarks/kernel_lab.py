@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--n1", type=int, default=131072)
     ap.add_argument("--n2", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--novalid", action="store_true",
+                    help="v1: measure the clean-input kernel (with_valid=False)")
     ap.add_argument("--check", action="store_true",
                     help="also verify stats vs the numpy oracle")
     args = ap.parse_args()
@@ -61,7 +63,8 @@ def main():
 
         def one(aa, bb):
             out = ps._sweep_pallas(aa, bb, noff_pad, l2p // ps.CHUNK,
-                                   interpret, args.tile)
+                                   interpret, args.tile,
+                                   with_valid=not args.novalid)
             return out[0, 0] + out[4, -1]
 
         perturb_axis = -1

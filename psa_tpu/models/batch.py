@@ -368,11 +368,20 @@ def search_batch(queries, backend: str = "auto",
         buckets.setdefault(key, []).append(i)
 
     if backend == "auto":
-        use_device = jax.default_backend() == "tpu"
-    else:
-        use_device = backend == "pallas"
+        from psa_tpu.config import CONFIG
 
     for (w, is_max, l1k, l2p), idxs in buckets.items():
+        if backend == "auto":
+            # workload-aware per bucket, like the single-query crossover
+            # (cpu_funcs.c:135-142): a small bucket is not worth a Mosaic
+            # compile — run it on the host engine
+            total_pe = sum(
+                (len(queries[i].seq1) - len(queries[i].seq2) + 1)
+                * len(queries[i].seq2) for i in idxs)
+            use_device = (jax.default_backend() == "tpu"
+                          and total_pe >= CONFIG.auto_threshold)
+        else:
+            use_device = backend == "pallas"
         if use_device:
             tables = build_tables(np.asarray(w), is_max)
             c1b = np.stack([pad_codes(encode(queries[i].seq1), l1k)

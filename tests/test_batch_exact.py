@@ -103,6 +103,47 @@ def test_search_batch_mixed_sizes_host_path():
             ref.offset, ref.char_offset, ref.score)
 
 
+def test_search_batch_auto_is_workload_aware(monkeypatch):
+    """`--backend auto` routes small buckets to the host engine and big
+    buckets to the device path, per bucket (cpu_funcs.c:135-142 analog)."""
+    import jax
+
+    from psa_tpu.config import CONFIG
+    from psa_tpu.models import batch as batch_mod
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import Query
+
+    rng = np.random.default_rng(7)
+    queries = [
+        Query(weights=np.array([1.0, 3.0, 4.0, 2.0]),
+              seq1=random_seq(rng, 300), seq2=random_seq(rng, 40),
+              is_max=False)
+        for _ in range(3)
+    ]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    device_calls = []
+
+    def fake_device(c1b, c2b, noffs, n2s, tables, **kw):
+        device_calls.append(len(noffs))
+        return [None] * len(noffs)
+
+    monkeypatch.setattr(batch_mod, "batched_search_exact", fake_device)
+
+    # bucket total 3*(261*40) = 31,320 pair-evals < threshold -> host path
+    monkeypatch.setattr(CONFIG, "auto_threshold", 200_000_000)
+    got = search_batch(queries, backend="auto")
+    assert device_calls == []
+    eng = AlignmentSearchEngine(queries[0].weights, False, backend="numpy")
+    ref = eng.search(queries[0].seq1, queries[0].seq2)
+    assert (got[0].offset, got[0].score) == (ref.offset, ref.score)
+
+    # drop the threshold below the bucket size -> device path, one call
+    monkeypatch.setattr(CONFIG, "auto_threshold", 1_000)
+    search_batch(queries, backend="auto")
+    assert device_calls == [3]
+
+
 def test_parse_cases_golden_scratchpad():
     cases = read_cases(GOLDEN_INPUT)
     assert len(cases) == 15
