@@ -320,7 +320,17 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
             results.append(None)
             continue
         if near[q] > k:
-            counts, maxrank = offset_stats_numpy(c1, c2, tables)
+            # rare exact fallback (>k offsets inside the f32 band): full
+            # host stats; native engine when available (numpy is minutes
+            # at 1M-char scale)
+            from psa_tpu.models.search import native_available
+
+            if native_available():
+                from psa_tpu.native import offset_stats_native
+
+                counts, maxrank = offset_stats_native(c1, c2, tables)
+            else:
+                counts, maxrank = offset_stats_numpy(c1, c2, tables)
             try:
                 results.append(select_best(counts, maxrank, tables, c1, c2))
             except NoMutationFound:

@@ -134,13 +134,40 @@ class AlignmentSearchEngine:
         codes2 = np.asarray(codes2, dtype=np.int32)
         if codes2.shape[0] > codes1.shape[0]:
             raise ValueError("seq2 must not be longer than seq1")
-        if self._resolve_backend(codes1, codes2) == "native":
+        backend = self._resolve_backend(codes1, codes2)
+        if backend == "native":
             # the native engine applies the reference's sequential semantics
             # directly — no separate selection pass needed
             from psa_tpu.native import search_native
 
             return search_native(codes1, codes2, self.tables,
                                  nthreads=self.nthreads)
+        if backend == "pallas":
+            from psa_tpu.ops.pallas_sweep import MAX_L1_VMEM, plan_shapes
+
+            noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0],
+                                                   codes2.shape[0])
+            if l1k > MAX_L1_VMEM:
+                # Oversized Seq1 (beyond the VMEM-resident one-hot budget):
+                # HBM-streaming batched kernel (B=1) with the checkable-exact
+                # top-k epilogue, so only (k, 5) ints leave the device
+                # instead of the full (noff, 5) stats (~20 MB/1M chars).
+                from psa_tpu.core.alphabet import pad_codes
+                from psa_tpu.core.result import NoMutationFound
+                from psa_tpu.models.batch import batched_search_exact
+                from psa_tpu.utils.cache import enable_compilation_cache
+
+                enable_compilation_cache()
+                res = batched_search_exact(
+                    pad_codes(codes1, l1k)[None, :],
+                    pad_codes(codes2, l2p)[None, :],
+                    np.array([noff], np.int32),
+                    np.array([codes2.shape[0]], np.int32),
+                    self.tables)[0]
+                if res is None:
+                    raise NoMutationFound(
+                        "no offset admits a legal substitution")
+                return res
         counts, maxrank = self.offset_stats(codes1, codes2)
         noff = codes1.shape[0] - codes2.shape[0] + 1
         return select_best(np.asarray(counts), np.asarray(maxrank),

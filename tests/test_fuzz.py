@@ -91,6 +91,36 @@ def test_hbm_streaming_path_matches_oracle(monkeypatch):
 
 
 @pytest.mark.slow
+def test_oversized_query_exact_topk_route(monkeypatch):
+    """An engine search on an oversized Seq1 (pallas backend) routes through
+    the HBM-streaming kernel + exact top-k epilogue — only (k, 5) ints leave
+    the device — and must return the reference-exact winner."""
+    import psa_tpu.ops.pallas_sweep as ps
+    from psa_tpu.models import batch as batch_mod
+
+    rng = np.random.default_rng(17)
+    c1 = random_codes(rng, 9000, 0.05)
+    c2 = random_codes(rng, 700, 0.05)
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    ref = AlignmentSearchEngine(w, False, backend="numpy").search_codes(c1, c2)
+
+    calls = []
+    real = batch_mod.batched_search_exact
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "MAX_L1_VMEM", 1024)
+    monkeypatch.setattr(batch_mod, "batched_search_exact", spy)
+    got = AlignmentSearchEngine(w, False,
+                                backend="pallas").search_codes(c1, c2)
+    assert calls == [1]
+    assert (got.offset, got.char_offset, got.sub_code, got.score) == (
+        ref.offset, ref.char_offset, ref.sub_code, ref.score)
+
+
+@pytest.mark.slow
 def test_fuzz_max_mode_season():
     """MAX-mode-heavy season: round-1 WEIGHT_SETS and fuzz skewed MIN."""
     rng = np.random.default_rng(55)
