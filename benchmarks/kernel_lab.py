@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--novalid", action="store_true",
                     help="v1: measure the clean-input kernel (with_valid=False)")
+    ap.add_argument("--pack", default="splitdot", choices=["splitdot", "cast"],
+                    help="v3: packed band via 4 quarter dots vs cast+bitcast")
+    ap.add_argument("--counts", default="defer", choices=["defer", "mxu"],
+                    help="v3: per-tile deferred counting vs per-chunk MXU dots")
     ap.add_argument("--check", action="store_true",
                     help="also verify stats vs the numpy oracle")
     args = ap.parse_args()
@@ -68,6 +72,22 @@ def main():
             return out[0, 0] + out[4, -1]
 
         perturb_axis = -1
+    elif args.variant == "v3":
+        from psa_tpu.ops import _sweep_v3 as v3
+
+        _, noff_pad, l2p, l1k = v3.plan_shapes_v3(args.n1, args.n2, args.tile,
+                                                  args.chunk)
+        a, b = v3._prepare_v3(jnp.asarray(c1), jnp.asarray(c2),
+                              jnp.asarray(tables.code), l1k, l2p, args.chunk,
+                              args.pack)
+
+        def one(aa, bb):
+            out = v3._sweep_pallas_v3(aa, bb, noff_pad, l2p // args.chunk,
+                                      interpret, args.tile, args.chunk,
+                                      args.pack, args.counts)
+            return out[0, 0] + out[4, -1]
+
+        perturb_axis = -1
     else:
         from psa_tpu.ops import _sweep_v2 as v2
 
@@ -91,6 +111,13 @@ def main():
         if args.variant == "v1":
             from psa_tpu.ops.pallas_sweep import offset_stats_pallas as f
             counts, maxrank = f(c1, c2, tables)
+        elif args.variant == "v3":
+            from psa_tpu.ops._sweep_v3 import offset_stats_v3
+            counts, maxrank = offset_stats_v3(c1, c2, tables,
+                                              tile_o=args.tile,
+                                              chunk=args.chunk,
+                                              pack=args.pack,
+                                              counts=args.counts)
         else:
             from psa_tpu.ops._sweep_v2 import offset_stats_v2
             counts, maxrank = offset_stats_v2(c1, c2, tables,

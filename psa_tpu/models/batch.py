@@ -311,42 +311,118 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
                                  run(jnp.asarray(c1b), jnp.asarray(c2b),
                                      jnp.asarray(noffs)))
 
-    results: list = []
-    for q in range(c1b.shape[0]):
+    from psa_tpu.models.search import native_available
+
+    b_n = c1b.shape[0]
+    results: list = [None] * b_n
+    nomut = np.isneginf(best)
+    fallback = (~nomut) & (near > k)
+    main = (~nomut) & (~fallback)
+
+    if main.any():
+        if native_available():
+            _select_rows_vectorized(results, np.nonzero(main)[0], c1b, c2b,
+                                    noffs, n2s, tables, topi, stats_k)
+        else:
+            for q in np.nonzero(main)[0]:
+                noff, n2 = int(noffs[q]), int(n2s[q])
+                c1 = c1b[q][: noff + n2 - 1]
+                c2 = c2b[q][: n2]
+                idx = topi[q]
+                st = stats_k[q]
+                keep = (idx < noff) & (st[:, 4] >= 0)
+                idx, st = idx[keep], st[keep]
+                order = np.argsort(idx, kind="stable")
+                idx, st = idx[order], st[order]
+                totals = totals_from_stats(st[:, :4], st[:, 4], tables)
+                bq = totals.max() if tables.is_max else totals.min()
+                cand = idx[np.abs(totals - bq) <= candidate_epsilon(tables, n2)]
+                results[q] = pick_from_candidates(c1, c2, tables, cand)
+
+    for q in np.nonzero(fallback)[0]:
+        # rare exact fallback (>k offsets inside the f32 band): full host
+        # stats; native engine when available (numpy is minutes at 1M-char
+        # scale)
         noff, n2 = int(noffs[q]), int(n2s[q])
         c1 = c1b[q][: noff + n2 - 1]
         c2 = c2b[q][: n2]
-        if np.isneginf(best[q]):
-            results.append(None)
-            continue
-        if near[q] > k:
-            # rare exact fallback (>k offsets inside the f32 band): full
-            # host stats; native engine when available (numpy is minutes
-            # at 1M-char scale)
-            from psa_tpu.models.search import native_available
+        if native_available():
+            from psa_tpu.native import offset_stats_native
 
-            if native_available():
-                from psa_tpu.native import offset_stats_native
-
-                counts, maxrank = offset_stats_native(c1, c2, tables)
-            else:
-                counts, maxrank = offset_stats_numpy(c1, c2, tables)
-            try:
-                results.append(select_best(counts, maxrank, tables, c1, c2))
-            except NoMutationFound:
-                results.append(None)
-            continue
-        idx = topi[q]
-        st = stats_k[q]
-        keep = (idx < noff) & (st[:, 4] >= 0)
-        idx, st = idx[keep], st[keep]
-        order = np.argsort(idx, kind="stable")
-        idx, st = idx[order], st[order]
-        totals = totals_from_stats(st[:, :4], st[:, 4], tables)
-        b = totals.max() if tables.is_max else totals.min()
-        cand = idx[np.abs(totals - b) <= candidate_epsilon(tables, n2)]
-        results.append(pick_from_candidates(c1, c2, tables, cand))
+            counts, maxrank = offset_stats_native(c1, c2, tables)
+        else:
+            counts, maxrank = offset_stats_numpy(c1, c2, tables)
+        try:
+            results[q] = select_best(counts, maxrank, tables, c1, c2)
+        except NoMutationFound:
+            results[q] = None
     return results
+
+
+def _select_rows_vectorized(results: list, rows: np.ndarray, c1b, c2b,
+                            noffs, n2s, tables: ScoringTables, topi,
+                            stats_k):
+    """Bit-exact winner selection for many queries with NO per-query Python.
+
+    Same semantics as the per-query loop (totals -> epsilon band ->
+    sequential re-score in ascending offset order -> first bit-equal best),
+    but all numpy ops run on (rows, k) blocks and ALL candidates cross into
+    the native re-scorer in one ctypes call (psa_rescore_multi) — the
+    per-query overhead was ~190us/query, ~44% of exact batch wall time at
+    B=1000.
+    """
+    from psa_tpu.core.result import SearchResult
+    from psa_tpu.native import rescore_multi_native
+
+    idx = topi[rows]                                       # (R, k)
+    st = stats_k[rows]                                     # (R, k, 5)
+    r_n, k = idx.shape
+    valid = (idx < noffs[rows][:, None]) & (st[:, :, 4] >= 0)
+    score = tables.score_from_counts(
+        st[:, :, :4].reshape(-1, 4)).reshape(r_n, k)
+    badv = -np.inf if tables.is_max else np.inf
+    mr = st[:, :, 4]
+    diffv = np.where(mr >= 0, tables.diff_vals[np.clip(mr, 0, None)], badv)
+    totals = np.where(valid, score + diffv, badv)
+    bq = totals.max(axis=1) if tables.is_max else totals.min(axis=1)
+
+    # vectorized candidate_epsilon(tables, n2) per row
+    n2r = n2s[rows].astype(np.float64)
+    max_w = float(np.max(np.abs(tables.w_signed)))
+    max_d = (float(np.max(np.abs(tables.diff_vals)))
+             if tables.diff_vals.size else 0.0)
+    eps = (4.0 * (n2r + 8) * np.finfo(np.float64).eps
+           * np.maximum(n2r * max_w + max_d, 1.0))
+    cmask = valid & (np.abs(totals - bq[:, None]) <= eps[:, None])
+
+    ri, ci = np.nonzero(cmask)
+    offs = idx[ri, ci].astype(np.int64)
+    # group by query, ascending offsets within each group (the first
+    # bit-equal best in this order is the is_swapable winner)
+    order = np.lexsort((offs, ri))
+    ri, offs = ri[order], offs[order]
+    qidx = rows[ri].astype(np.int32)
+
+    totals_seq, coffs, subs = rescore_multi_native(
+        c1b, c2b, np.asarray(n2s, np.int32), tables, qidx, offs)
+    ok = coffs >= 0
+    totals_seq = np.where(ok, totals_seq, badv)
+
+    # per-group winner: best total, first occurrence in ascending order
+    starts = np.nonzero(np.r_[True, ri[1:] != ri[:-1]])[0]
+    red = np.maximum if tables.is_max else np.minimum
+    gbest = red.reduceat(totals_seq, starts)
+    hit_pos = np.where(totals_seq == np.repeat(gbest, np.diff(
+        np.r_[starts, ri.shape[0]])), np.arange(ri.shape[0]), ri.shape[0])
+    win = np.minimum.reduceat(hit_pos, starts)
+    for g, w in enumerate(win):
+        q = int(rows[ri[starts[g]]])
+        if not np.isfinite(gbest[g]):
+            continue
+        results[q] = SearchResult(offset=int(offs[w]),
+                                  char_offset=int(coffs[w]),
+                                  sub_code=int(subs[w]),
+                                  score=float(totals_seq[w]))
 
 
 def search_batch(queries, backend: str = "auto",

@@ -133,6 +133,13 @@ def get_lib():
             _i32p, _i32p, ctypes.c_int32, _i8p, _i8p,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p,
         ]
+        lib.psa_rescore_multi.restype = None
+        lib.psa_rescore_multi.argtypes = [
+            _i32p, ctypes.c_int32, _i32p, ctypes.c_int32, _i32p,
+            _f64p, _f64p, _i8p, ctypes.c_int32,
+            _i32p, _i64p, ctypes.c_int32,
+            _f64p, _i32p, _i32p,
+        ]
         lib.psa_rescore_batch.restype = None
         lib.psa_rescore_batch.argtypes = [
             _i32p, _i32p, ctypes.c_int32,
@@ -211,6 +218,30 @@ def rescore_batch_native(codes1: np.ndarray, codes2: np.ndarray,
     lib.psa_rescore_batch(codes1, codes2, codes2.shape[0], pair_w, diff, sub,
                           int(tables.is_max), cand, k, totals, coffs, subs)
     return totals, coffs.astype(np.int64), subs.astype(np.int64)
+
+
+def rescore_multi_native(c1b: np.ndarray, c2b: np.ndarray, n2s: np.ndarray,
+                         tables: ScoringTables, qidx: np.ndarray,
+                         offsets: np.ndarray):
+    """Multi-query batch re-scorer: candidate k = (qidx[k], offsets[k]) over
+    the padded code matrices c1b (B, L1) / c2b (B, L2).  Bit-identical to
+    per-query rescore_batch_native calls, one ctypes crossing for the whole
+    batch."""
+    lib = get_lib()
+    c1b = np.ascontiguousarray(c1b, np.int32)
+    c2b = np.ascontiguousarray(c2b, np.int32)
+    n2s = np.ascontiguousarray(n2s, np.int32)
+    qidx = np.ascontiguousarray(qidx, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    pair_w, diff, sub = _flat_tables(tables)
+    k = offsets.shape[0]
+    totals = np.empty(k, np.float64)
+    coffs = np.empty(k, np.int32)
+    subs = np.empty(k, np.int32)
+    lib.psa_rescore_multi(c1b, c1b.shape[1], c2b, c2b.shape[1], n2s,
+                          pair_w, diff, sub, int(tables.is_max),
+                          qidx, offsets, k, totals, coffs, subs)
+    return totals, coffs, subs
 
 
 def offset_stats_native(codes1: np.ndarray, codes2: np.ndarray,

@@ -178,6 +178,35 @@ void psa_rescore_batch(const int32_t* codes1, const int32_t* codes2,
     }
 }
 
+// Multi-query batch re-scorer: one call re-scores candidates drawn from B
+// different queries (models/batch.batched_search_exact).  Query q's codes
+// live at row q of the padded (B, l1_stride) / (B, l2_stride) matrices the
+// batch path already has contiguous; each candidate k names its query via
+// qidx[k].  Bit-identical to per-query psa_rescore_batch calls — the ~190us
+// of per-query Python/ctypes overhead those cost at B=1000 was ~44% of the
+// whole exact batch wall time.
+void psa_rescore_multi(const int32_t* c1b, int32_t l1_stride,
+                       const int32_t* c2b, int32_t l2_stride,
+                       const int32_t* n2s,
+                       const double* pair_w, const double* diff,
+                       const int8_t* sub, int32_t is_max,
+                       const int32_t* qidx, const int64_t* offsets,
+                       int32_t n_cand,
+                       double* out_totals, int32_t* out_char_offsets,
+                       int32_t* out_sub_codes) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) if (n_cand > 16)
+#endif
+    for (int32_t k = 0; k < n_cand; ++k) {
+        const int32_t q = qidx[k];
+        scan_offset(c1b + static_cast<int64_t>(q) * l1_stride,
+                    c2b + static_cast<int64_t>(q) * l2_stride, n2s[q],
+                    pair_w, diff, sub, is_max != 0,
+                    static_cast<int32_t>(offsets[k]),
+                    &out_totals[k], &out_char_offsets[k], &out_sub_codes[k]);
+    }
+}
+
 // Per-offset integer stats (counts of 4 sign classes + max rank), matching
 // the device engines' contract — lets tests diff device output against
 // native output on large inputs quickly.
