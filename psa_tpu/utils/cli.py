@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "by padded shape and streamed through the batched "
                         "device path; -o names a directory receiving "
                         "out_0000.txt, out_0001.txt, ...")
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON object per case to stdout (offset, "
+                        "char position, substitute, score, mutant, time) "
+                        "instead of the reference-style time trailer; output "
+                        "files are still written")
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler device trace into LOGDIR")
     p.add_argument("--quiet", action="store_true", help="suppress progress prints")
@@ -159,7 +164,9 @@ def main(argv: list[str] | None = None) -> int:
         print("There are no mutations found", file=sys.stderr)
         write_output(args.output, query.seq2, -1,
                      float("-inf") if query.is_max else float("inf"))
-        if not args.quiet:
+        if args.json:
+            print(_result_json(query, None, elapsed))
+        elif not args.quiet:
             print("total time: %g" % elapsed)
         return 1
     elapsed = time.perf_counter() - t0
@@ -170,10 +177,38 @@ def main(argv: list[str] | None = None) -> int:
         from psa_tpu.utils.pretty import pretty_print
 
         pretty_print(query, res)
-    if not args.quiet:
+    if args.json:
+        print(_result_json(query, res, elapsed))
+    elif not args.quiet:
         # same trailer the reference prints (main.c:46-47)
         print("total time: %g" % elapsed)
     return 0
+
+
+def _result_json(query, res, elapsed: float | None = None,
+                 case: int | None = None) -> str:
+    """One machine-readable result object (None result = no mutation)."""
+    import json
+
+    obj: dict = {}
+    if case is not None:
+        obj["case"] = case
+    obj["mutation_found"] = res is not None
+    if res is not None:
+        obj.update(offset=res.offset, char_offset=res.char_offset,
+                   substitute=res.sub_char, score=res.score,
+                   mutant=res.mutant(query.seq2))
+    else:
+        obj.update(offset=-1, score=(float("-inf") if query.is_max
+                                     else float("inf")),
+                   mutant=query.seq2)
+    if elapsed is not None:
+        obj["time_s"] = elapsed
+    # json can't carry inf: mirror C printf's 'inf' string for the UB-path
+    # score (the %g writer prints 'inf' there too)
+    if not np.isfinite(obj["score"]):
+        obj["score"] = "%g" % obj["score"]
+    return json.dumps(obj)
 
 
 def _main_batch(args) -> int:
@@ -217,10 +252,18 @@ def _main_batch(args) -> int:
             else:
                 f.write(format_output(res.mutant(q.seq2), res.offset,
                                       res.score))
+        if args.json:
+            print(_result_json(q, res, case=i))
+        if args.explain and res is not None:
+            from psa_tpu.utils.pretty import pretty_print
+
+            print(f"--- case {i} ---", file=sys.stderr)
+            pretty_print(q, res, file=sys.stderr)
     if not args.quiet:
         print(f"{len(cases)} cases -> {outdir}/ "
               f"({n_missing} without mutation)", file=sys.stderr)
-        print("total time: %g" % elapsed)
+        if not args.json:
+            print("total time: %g" % elapsed)
     # same contract as single-case mode: no-mutation cases signal exit 1
     return 1 if n_missing else 0
 

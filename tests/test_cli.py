@@ -70,6 +70,62 @@ def test_cli_no_mutation_path(tmp_path):
         select_best(counts, maxrank, t, np.zeros(10, np.int32), np.zeros(7, np.int32))
 
 
+def test_cli_json_single(tmp_path, capsys, golden_expected):
+    import json
+
+    out = tmp_path / "output.txt"
+    rc = main(["/root/reference/input.txt", "-o", str(out),
+               "--backend", "native", "--json"])
+    assert rc == 0
+    obj = json.loads(capsys.readouterr().out.strip())
+    assert obj["mutation_found"] is True
+    assert obj["offset"] == 4505 and obj["score"] == -4879.0
+    mutant_line = golden_expected.split("\n")[0]
+    assert obj["mutant"] == mutant_line
+    assert obj["time_s"] > 0
+    # the output file is still the byte-exact reference format
+    assert out.read_text() == golden_expected
+
+
+def test_cli_json_no_mutation(tmp_path, capsys):
+    import json
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("1 3 4 2\n111111\n2222\nminimum\n")
+    out = tmp_path / "out.txt"
+    rc = main([str(inp), "-o", str(out), "--backend", "numpy",
+               "--lenient", "--json"])
+    assert rc == 1
+    obj = json.loads(capsys.readouterr().out.strip())
+    assert obj["mutation_found"] is False
+    assert obj["offset"] == -1 and obj["score"] == "inf"
+    assert obj["mutant"] == "2222"
+
+
+def test_cli_json_batch(tmp_path, capsys):
+    import json
+
+    recs = []
+    for s in range(3):
+        seq1, seq2 = random_sequences(400, 90, seed=s)
+        recs.append(f"1 3 4 2\n{seq1}\n{seq2}\nminimum")
+    inp = tmp_path / "in.txt"
+    inp.write_text("\n".join(recs))
+    rc = main([str(inp), "--batch", "-o", str(tmp_path / "out"),
+               "--backend", "native", "--json", "--quiet"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 3
+    for i, ln in enumerate(lines):
+        obj = json.loads(ln)
+        assert obj["case"] == i and obj["mutation_found"] is True
+        # JSON result must agree with the written reference-format file
+        body = (tmp_path / "out" / f"out_{i:04d}.txt").read_text()
+        mutant, tail = body.split("\n")
+        off, score = tail.split()
+        assert obj["mutant"] == mutant and obj["offset"] == int(off)
+
+
 def test_cli_explain_runs(tmp_path):
     seq1, seq2 = random_sequences(300, 80, seed=4)
     inp = tmp_path / "in.txt"
