@@ -166,32 +166,85 @@ def f32_band_epsilon(tables: ScoringTables, l2p: int) -> float:
     return 16.0 * np.float32(np.finfo(np.float32).eps) * max(s, 1.0)
 
 
+def exact_topk_epilogue_rows(stats5, tables: ScoringTables, noff, l2p: int,
+                             k: int = TOPK):
+    """Rows-layout checkable-exact epilogue (jittable, natively batched).
+
+    stats5: (..., 5, NP) int32 — rows 0-3 class counts, row 4 maxrank, with
+    the offset axis minor.  This layout is load-bearing on TPU: the minor
+    dimension is padded to 128 lanes, so the transposed (NP, 5) form
+    wastes ~25x the memory traffic and was measured to dominate batch wall
+    time (~100 of 133 ms device time at B=1000).
+
+    Ranks by f32 keyed totals but returns the top-k candidates WITH their
+    exact integer stats plus the f32 near-tie band population `near` — the
+    host re-scores the candidates exactly and can DETECT (near > k) when
+    the f32 ranking was insufficient, so no winner ever depends on f32
+    rounding.  Returns (topi (..., k), stats_k (..., 5, k), near, best).
+    """
+    w32 = np.asarray(tables.w_signed, np.float32)
+    diff32 = jnp.asarray(
+        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    eps = np.float32(f32_band_epsilon(tables, l2p))
+    c = stats5.astype(jnp.float32)
+    total = (w32[0] * c[..., 0, :] + w32[1] * c[..., 1, :]
+             + w32[2] * c[..., 2, :] + w32[3] * c[..., 3, :])
+    mr = stats5[..., 4, :]
+    total = total + diff32[jnp.clip(mr, 0, None)]
+    offs = jnp.arange(mr.shape[-1], dtype=jnp.int32)
+    noff_arr = jnp.asarray(noff, dtype=jnp.int32)
+    valid = (mr >= 0) & (offs < noff_arr[..., None])
+    sign = 1.0 if tables.is_max else -1.0
+    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    best = jnp.max(keyed, axis=-1)
+    near = jnp.sum(keyed >= best[..., None] - eps, axis=-1)
+    _, topi = jax.lax.top_k(keyed, k)
+    stats_k = jnp.take_along_axis(stats5, topi[..., None, :], axis=-1)
+    return topi.astype(jnp.int32), stats_k, near, best
+
+
 def exact_topk_epilogue(stats, tables: ScoringTables, noff, l2p: int,
                         k: int = TOPK):
-    """Checkable-exact in-graph ranking epilogue (jittable).
+    """Stats-minor-layout wrapper over `exact_topk_epilogue_rows`.
 
-    stats: (noff_pad, 5) int32.  Ranks by f32 keyed totals but returns the
-    top-k candidates WITH their exact integer stats plus the f32 near-tie
-    band population `near` — the host re-scores the candidates exactly and
-    can DETECT (near > k) when the f32 ranking was insufficient, so no
-    winner ever depends on f32 rounding (the fix for round-1 ADVICE:
-    f32-ranked flagship winners).
+    stats: (noff_pad, 5) int32.  Prefer the rows variant on hot paths —
+    this transposes, which is a relayout on TPU.
     """
-    from psa_tpu.ops.common import keyed_f32_totals
+    topi, stats_k, near, best = exact_topk_epilogue_rows(
+        jnp.swapaxes(stats, -1, -2), tables, noff, l2p, k)
+    return topi, jnp.swapaxes(stats_k, -1, -2), near, best
 
-    eps = np.float32(f32_band_epsilon(tables, l2p))
-    keyed, _ = keyed_f32_totals(stats[:, :4], stats[:, 4], tables, noff)
-    best = jnp.max(keyed)
-    near = jnp.sum(keyed >= best - eps)
-    _, topi = jax.lax.top_k(keyed, k)
-    return topi.astype(jnp.int32), stats[topi], near, best
+
+def pack_epilogue_outputs(topi, stats_k, near, best):
+    """Pack the epilogue outputs into ONE (B, 6k+2) int32 array.
+
+    The remote-TPU tunnel charges ~30-80 ms per blocking fetch RPC
+    regardless of size; fetching four lazy outputs cost ~130 ms at B=1000
+    while the bytes themselves are <1 MB.  One packed array = one fetch.
+    Layout per row: [topi(k) | stats5(5*k) | near | best_bits_f32].
+    """
+    b, k = topi.shape
+    return jnp.concatenate(
+        [topi, stats_k.reshape(b, 5 * k), near[:, None].astype(jnp.int32),
+         jax.lax.bitcast_convert_type(best.astype(jnp.float32),
+                                      jnp.int32)[:, None]], axis=1)
+
+
+def unpack_epilogue_outputs(buf: np.ndarray, k: int):
+    """Host-side inverse of `pack_epilogue_outputs` (numpy)."""
+    topi = buf[:, :k]
+    stats_k = buf[:, k:6 * k].reshape(buf.shape[0], 5, k)
+    near = buf[:, 6 * k]
+    best = buf[:, 6 * k + 1].view(np.float32)
+    return topi, stats_k, near, best
 
 
 def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
                               interpret: bool, k: int = TOPK):
     """Jitted scan returning per query the top-k f32 candidates WITH their
     exact integer stats plus the band population count — everything the host
-    needs for bit-exact selection (or to detect it must fall back).
+    needs for bit-exact selection (or to detect it must fall back) — packed
+    into one int32 array (see `pack_epilogue_outputs`).
     """
     key = (tuple(tables.weights.tolist()), tables.is_max, l1k, l2p,
            interpret, k)
@@ -212,16 +265,18 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     def run(c1b, c2b, noffs):
         def step(carry, q):
             c1, c2, noff = q
-            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
-            pc = code_tab.astype(jnp.int8)[:, c2]
+            s1oh_t = jax.nn.one_hot(c1.astype(jnp.int32), NCODES_PAD,
+                                    dtype=jnp.int8, axis=0)
+            pc = code_tab.astype(jnp.int8)[:, c2.astype(jnp.int32)]
             out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
-            maxrank = maxrank_from_maxcode(out[4, :])
-            stats = jnp.concatenate([out[:4, :], maxrank[None, :]], axis=0).T
-            return carry, exact_topk_epilogue(stats, tables, noff, l2p, k)
+            maxrank = maxrank_from_maxcode(out[4:5, :])
+            stats5 = jnp.concatenate([out[:4, :], maxrank], axis=0)
+            return carry, exact_topk_epilogue_rows(stats5, tables, noff,
+                                                   l2p, k)
 
         _, (topi, stats_k, near, best) = jax.lax.scan(
             step, 0, (c1b, c2b, noffs))
-        return topi, stats_k, near, best
+        return pack_epilogue_outputs(topi, stats_k, near, best)
 
     _EXACT_RUNNERS[key] = run
     return run
@@ -244,7 +299,6 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     import jax
 
-    from psa_tpu.core.alphabet import NCODES_PAD
     from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
                                           maxrank_from_maxcode, pick_chunk)
 
@@ -256,21 +310,19 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     @jax.jit
     def run(c1b, c2b, noffs):
-        s1oh_all = jax.nn.one_hot(c1b.reshape(-1), NCODES_PAD,
-                                  dtype=jnp.int8, axis=0)    # (32, B*l1q)
-        pc = code_tab.astype(jnp.int8)[:, c2b]               # (32, B, l2p)
+        s1c_all = jnp.broadcast_to(
+            c1b.reshape(1, -1).astype(jnp.int8),
+            (4, b * l1k))                                    # (4, B*l1q)
+        pc = code_tab.astype(jnp.int8)[:, c2b.astype(jnp.int32)]
         pc_all = (pc.transpose(1, 0, 2)
                   .reshape(b, 32, nchunks, chunk)
                   .transpose(0, 2, 1, 3)[:, :, :, ::-1])
-        out = _sweep_pallas_batched(s1oh_all, pc_all, b, noff_pad, l2p,
+        out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
                                     interpret)               # (B, 8, NP)
-        maxrank = maxrank_from_maxcode(out[:, 4, :])
-        stats = jnp.concatenate(
-            [out[:, :4, :], maxrank[:, None, :]], axis=1
-        ).transpose(0, 2, 1)                                 # (B, NP, 5)
-        return jax.vmap(
-            lambda s, n: exact_topk_epilogue(s, tables, n, l2p, k)
-        )(stats, noffs)
+        maxrank = maxrank_from_maxcode(out[:, 4:5, :])
+        stats5 = jnp.concatenate([out[:, :4, :], maxrank], axis=1)
+        return pack_epilogue_outputs(
+            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
     _EXACT_RUNNERS[key] = run
     return run
@@ -307,9 +359,13 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     else:
         run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
                                         bool(interpret), k)
-    topi, stats_k, near, best = (np.asarray(x) for x in
-                                 run(jnp.asarray(c1b), jnp.asarray(c2b),
-                                     jnp.asarray(noffs)))
+    # int8 uploads (codes < 32, 4x fewer bytes) + ONE packed fetch: the
+    # remote-TPU tunnel charges per round trip, not per byte
+    buf = np.asarray(run(jnp.asarray(c1b.astype(np.int8)),
+                         jnp.asarray(c2b.astype(np.int8)),
+                         jnp.asarray(noffs.astype(np.int32))))
+    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+    stats_k = np.swapaxes(stats_k, 1, 2)     # (B, 5, k) -> (B, k, 5) on host
 
     from psa_tpu.models.search import native_available
 

@@ -222,46 +222,46 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
     out_ref[...] = acc_ref[...]
 
 
-def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
-                          win_ref, pcc_ref, sems, *, nchunks: int,
+def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
+                          cscr_ref, oh_ref, pcq_ref, sems, *, nchunks: int,
                           tile_o: int, chunk: int, l1q: int):
-    """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM and
-    each chunk's Seq1 window / code columns DMA into VMEM scratch.
+    """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM.
 
     Replaces the lax.scan-of-sweeps batch path whose per-query dispatch
     overhead (~350us) dwarfed the actual work for serving-sized queries;
     one pallas_call now covers the whole batch.  The HBM residency also
     means Seq1 length is bounded by HBM, not VMEM.
+
+    Seq1 arrives as RAW CODES (replicated to 4 sublanes — Mosaic's int8
+    tiling rejects 1-sublane slices): per tile, one (4, span) DMA brings
+    the tile's code window in and an iota-compare expands it to the
+    (32, span) one-hot in VMEM.  The earlier one-hot-operand design moved
+    32 bytes per char per tile over HBM and needed a 52 ms host-side
+    one_hot materialization pass at B=1000 — both costs collapse to 4
+    bytes per char and one in-kernel compare.
     """
     q = pl.program_id(0)
     o0 = pl.program_id(1) * tile_o
+    span = tile_o + nchunks * chunk
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
     macc_ref[...] = jnp.zeros_like(macc_ref)
 
-    def dmas(c, slot):
-        base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
-        return (pltpu.make_async_copy(s1oh_ref.at[:, pl.ds(base, width)],
-                                      win_ref.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(pc_ref.at[q, c],
-                                      pcc_ref.at[slot], sems.at[slot, 1]))
-
-    # double-buffered chunk pipeline: start c+1's copies before computing c
-    for d in dmas(0, 0):
-        d.start()
+    base = pl.multiple_of(q * l1q + o0, chunk)
+    cp_c = pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, span)],
+                                 cscr_ref, sems.at[0])
+    cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[1])
+    cp_c.start()
+    cp_pc.start()
+    cp_c.wait()
+    cp_pc.wait()
+    iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
+    row = cscr_ref[0:1, :].astype(jnp.int32)
+    oh_ref[...] = (iota == row).astype(jnp.int8)
 
     def body(c, _):
-        slot = jax.lax.rem(c, 2)
-        nxt = jax.lax.rem(c + 1, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            for d in dmas(c + 1, nxt):
-                d.start()
-
-        for d in dmas(c, slot):
-            d.wait()
-        _contract_decode_accumulate(pcc_ref[slot], win_ref[slot], acc_ref,
+        win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
+        _contract_decode_accumulate(pcq_ref[c], win, acc_ref,
                                     width=width, tile_o=tile_o, chunk=chunk,
                                     macc_ref=macc_ref)
         return 0
@@ -274,19 +274,21 @@ def _sweep_kernel_batched(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref,
 @functools.partial(jax.jit,
                    static_argnames=("b", "noff_pad", "l2p", "interpret",
                                     "tile_o"))
-def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
+def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
                           interpret: bool, tile_o: int | None = None):
     """Batched sweep -> (B, 8, noff_pad) int32.
 
-    s1oh_all: (32, B * (noff_pad + l2p)) int8 one-hot (queries concatenated,
-    each padded to the same l1q stride); pc_all: (B, nchunks, 32, chunk)
-    int8 code columns, reversed in-chunk (see _shear_stride).
+    s1c_all: (4, B * (noff_pad + l2p)) int8 raw codes, 4 identical sublane
+    rows (queries concatenated, each padded to the same l1q stride);
+    pc_all: (B, nchunks, 32, chunk) int8 code columns, reversed in-chunk
+    (see _shear_stride).
     """
     if tile_o is None:
         tile_o = pick_tile(noff_pad)
     chunk = pc_all.shape[3]
     nchunks = pc_all.shape[1]
     l1q = noff_pad + l2p
+    span = tile_o + l2p
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel_batched, nchunks=nchunks,
                                tile_o=tile_o, chunk=chunk, l1q=l1q)
@@ -295,7 +297,7 @@ def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
         grid=(b, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # pc_all in HBM
-            pl.BlockSpec(memory_space=pl.ANY),    # s1oh_all in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # s1c_all in HBM
         ],
         out_specs=pl.BlockSpec((1, 8, tile_o), lambda q, t: (q, 0, t),
                                memory_space=pltpu.VMEM),
@@ -303,12 +305,13 @@ def _sweep_pallas_batched(s1oh_all, pc_all, b: int, noff_pad: int, l2p: int,
         scratch_shapes=[
             pltpu.VMEM((8, tile_o), jnp.int32),
             pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
-            pltpu.VMEM((2, 32, tile_o + chunk), jnp.int8),  # double-buffered
-            pltpu.VMEM((2, 32, chunk), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((4, span), jnp.int8),               # tile code window
+            pltpu.VMEM((32, span), jnp.int8),              # tile one-hot
+            pltpu.VMEM((nchunks, 32, chunk), jnp.int8),    # query code cols
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(pc_all, s1oh_all)
+    )(pc_all, s1c_all)
 
 
 @functools.partial(jax.jit,
@@ -353,12 +356,19 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("l1k", "l2p"))
-def _prepare(codes1p, codes2p, code_tab, l1k: int, l2p: int):
-    """Build device operands: transposed Seq1 one-hot + per-position codes."""
+def _prepare_codes(codes1p, codes2p, code_tab, l1k: int, l2p: int):
+    """Pad Seq1 codes + build per-position Seq2 code columns."""
     c1 = jnp.full((l1k,), PAD_CODE, jnp.int32).at[: codes1p.shape[0]].set(codes1p)
-    s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)      # (32, L1K)
     c2 = jnp.full((l2p,), PAD_CODE, jnp.int32).at[: codes2p.shape[0]].set(codes2p)
     pc = code_tab[:, c2]                                                 # (32, L2P) int8
+    return c1, pc
+
+
+@functools.partial(jax.jit, static_argnames=("l1k", "l2p"))
+def _prepare(codes1p, codes2p, code_tab, l1k: int, l2p: int):
+    """Build device operands: transposed Seq1 one-hot + per-position codes."""
+    c1, pc = _prepare_codes(codes1p, codes2p, code_tab, l1k, l2p)
+    s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)      # (32, L1K)
     return s1oh_t, pc
 
 
@@ -391,6 +401,10 @@ def plan_shapes(n1: int, n2: int):
     """Static padded shapes for a (n1, n2) problem."""
     noff = n1 - n2 + 1
     l2p = round_up(max(n2, CHUNK), CHUNK)
+    if l2p > MAX_CHUNK:
+        # round to the large chunk so pick_chunk can use it: chunk 128 was
+        # measured ~25% slower than 256 on the 1M-char query (64 -> 52 ms)
+        l2p = round_up(l2p, MAX_CHUNK)
     noff_pad = round_up(noff, size_tile(noff))
     l1k = noff_pad + l2p
     return noff, noff_pad, l2p, l1k
@@ -398,16 +412,18 @@ def plan_shapes(n1: int, n2: int):
 
 @functools.partial(jax.jit, static_argnames=("b", "noff_pad", "l2p",
                                              "interpret", "tile_o"))
-def _sweep_pallas_hbm1(s1oh_t, pc, b: int, noff_pad: int, l2p: int,
+def _sweep_pallas_hbm1(s1c, pc, b: int, noff_pad: int, l2p: int,
                        interpret: bool, tile_o: int | None = None):
     """Single-query HBM-streaming sweep via the batched kernel (B=1):
-    the one-hot stays in HBM and each chunk window DMAs into VMEM, so Seq1
-    length is bounded by HBM — no VMEM cap, no sharding required."""
+    the raw codes stay in HBM (4 bytes/char after sublane replication) and
+    each tile's window DMAs into VMEM, so Seq1 length is bounded by HBM —
+    no VMEM cap, no sharding required.  s1c: (l1k,) int32 codes."""
     chunk = pick_chunk(l2p)
     nck = l2p // chunk
     pc_all = pc.reshape(32, nck, chunk).transpose(1, 0, 2)[None, :, :, ::-1]
-    return _sweep_pallas_batched(s1oh_t, pc_all, 1, noff_pad, l2p,
-                                 interpret, tile_o)[0]
+    s1c4 = jnp.broadcast_to(s1c.astype(jnp.int8)[None, :], (4, s1c.shape[0]))
+    return _sweep_pallas_batched(s1c4, pc_all, 1,
+                                 noff_pad, l2p, interpret, tile_o)[0]
 
 
 def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
@@ -424,15 +440,17 @@ def offset_stats_pallas(codes1: np.ndarray, codes2: np.ndarray,
     # every real pair position is valid, so cls3 = n2 - cls0 - cls1 - cls2
     # on the host and the kernel skips its valid-count mask + dot.
     clean = not (np.any(codes1 == OTHER_CODE) or np.any(codes2 == OTHER_CODE))
-    s1oh_t, pc = _prepare(jnp.asarray(codes1), jnp.asarray(codes2),
-                          jnp.asarray(tables.code), l1k, l2p)
     if l1k > MAX_L1_VMEM:
-        # beyond the VMEM-resident budget, stream the Seq1 window per chunk
-        # from HBM (the batched kernel's DMA path with B=1)
-        out = _sweep_pallas_hbm1(s1oh_t, pc, 1, noff_pad, l2p,
+        # beyond the VMEM-resident budget, stream raw Seq1 code windows per
+        # tile from HBM (the batched kernel's DMA path with B=1)
+        c1p, pc = _prepare_codes(jnp.asarray(codes1), jnp.asarray(codes2),
+                                 jnp.asarray(tables.code), l1k, l2p)
+        out = _sweep_pallas_hbm1(c1p, pc, 1, noff_pad, l2p,
                                  bool(interpret))
         clean = False  # batched kernel keeps the valid count in-kernel
     else:
+        s1oh_t, pc = _prepare(jnp.asarray(codes1), jnp.asarray(codes2),
+                              jnp.asarray(tables.code), l1k, l2p)
         out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK,
                             bool(interpret), with_valid=not clean)
     out = np.asarray(out)
