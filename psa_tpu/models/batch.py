@@ -239,6 +239,30 @@ def unpack_epilogue_outputs(buf: np.ndarray, k: int):
     return topi, stats_k, near, best
 
 
+def pack_query_inputs(c1b, c2b, noffs) -> np.ndarray:
+    """Pack a batch's inputs into ONE (B, l1k + l2p + 4) int8 array (host).
+
+    Mirror of `pack_epilogue_outputs` on the upload side: each host->device
+    array transfer through the remote-TPU tunnel is its own RPC with
+    ~30-80 ms latency, so three small uploads cost ~3 round trips.  Layout
+    per row: [c1 codes (l1k) | c2 codes (l2p) | noff as 4 LE int32 bytes].
+    """
+    b = c1b.shape[0]
+    return np.concatenate(
+        [c1b.astype(np.int8), c2b.astype(np.int8),
+         np.ascontiguousarray(noffs.astype("<i4")).view(np.int8)
+           .reshape(b, 4)], axis=1)
+
+
+def unpack_query_inputs(inbuf, l1k: int, l2p: int):
+    """In-graph inverse of `pack_query_inputs` (jittable slicing + bitcast)."""
+    c1b = inbuf[:, :l1k]
+    c2b = inbuf[:, l1k:l1k + l2p]
+    noffs = jax.lax.bitcast_convert_type(
+        inbuf[:, l1k + l2p:l1k + l2p + 4], jnp.int32)
+    return c1b, c2b, noffs
+
+
 def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
                               interpret: bool, k: int = TOPK):
     """Jitted scan returning per query the top-k f32 candidates WITH their
@@ -262,7 +286,9 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     code_tab = jnp.asarray(tables.code)
 
     @jax.jit
-    def run(c1b, c2b, noffs):
+    def run(inbuf):
+        c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+
         def step(carry, q):
             c1, c2, noff = q
             s1oh_t = jax.nn.one_hot(c1.astype(jnp.int32), NCODES_PAD,
@@ -309,7 +335,8 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     code_tab = jnp.asarray(tables.code)
 
     @jax.jit
-    def run(c1b, c2b, noffs):
+    def run(inbuf):
+        c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
         s1c_all = jnp.broadcast_to(
             c1b.reshape(1, -1).astype(jnp.int8),
             (4, b * l1k))                                    # (4, B*l1q)
@@ -359,11 +386,9 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     else:
         run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
                                         bool(interpret), k)
-    # int8 uploads (codes < 32, 4x fewer bytes) + ONE packed fetch: the
-    # remote-TPU tunnel charges per round trip, not per byte
-    buf = np.asarray(run(jnp.asarray(c1b.astype(np.int8)),
-                         jnp.asarray(c2b.astype(np.int8)),
-                         jnp.asarray(noffs.astype(np.int32))))
+    # ONE packed int8 upload + ONE packed int32 fetch: the remote-TPU
+    # tunnel charges per round trip, not per byte
+    buf = np.asarray(run(jnp.asarray(pack_query_inputs(c1b, c2b, noffs))))
     topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
     stats_k = np.swapaxes(stats_k, 1, 2)     # (B, 5, k) -> (B, k, 5) on host
 

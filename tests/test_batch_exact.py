@@ -220,3 +220,25 @@ def test_cli_batch_mode(tmp_path):
         assert main([str(inp), "-o", str(single), "--case", str(i),
                      "--backend", "numpy", "--quiet"]) == 0
         assert (outdir / f"out_{i:04d}.txt").read_text() == single.read_text()
+
+
+def test_pack_query_inputs_roundtrip_in_graph():
+    """The single-upload input packing must bit-round-trip through the
+    in-graph unpack (slicing + int8->int32 bitcast), including negative-free
+    int32 noffs crossing byte boundaries."""
+    import jax
+
+    from psa_tpu.models.batch import pack_query_inputs, unpack_query_inputs
+
+    rng = np.random.default_rng(0)
+    b, l1k, l2p = 5, 640, 128
+    c1b = rng.integers(0, 28, (b, l1k), dtype=np.int32)
+    c2b = rng.integers(0, 28, (b, l2p), dtype=np.int32)
+    noffs = np.array([1, 255, 256, 513, 100000], np.int32)
+    buf = pack_query_inputs(c1b, c2b, noffs)
+    assert buf.dtype == np.int8 and buf.shape == (b, l1k + l2p + 4)
+    g1, g2, gn = jax.jit(
+        lambda x: unpack_query_inputs(x, l1k, l2p))(buf)
+    np.testing.assert_array_equal(np.asarray(g1), c1b.astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(g2), c2b.astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(gn), noffs)
