@@ -132,10 +132,13 @@ def main():
     engine = args.engine or ("pallas" if backend == "tpu" else "conv")
     log(f"[bench] backend={backend} devices={jax.devices()} engine={engine}")
 
+    # iters amortizes the per-dispatch round trip through the remote-TPU
+    # tunnel, whose latency varies (30ms-6s measured); at 48 chained sweeps
+    # even a 1s stall adds only ~20us/sweep of noise
     if args.quick:
-        n1, n2, iters = 16384, 2048, 8
+        n1, n2, iters = 16384, 2048, 16
     else:
-        n1, n2, iters = 131072, 8192, 16
+        n1, n2, iters = 131072, 8192, 48
 
     # Always produce the JSON line: fall back through engines if the primary
     # path fails (e.g. a wedged TPU tunnel).

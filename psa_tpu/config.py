@@ -40,6 +40,15 @@ class EngineConfig:
     # Mosaic compile costs 30-700s through the device tunnel).
     auto_threshold: int = _env_int("PSA_AUTO_THRESHOLD", 200_000_000)
 
+    # batched serving: queries stream through the device in fixed-size
+    # microbatches (padded up to the next power of two, capped here) so one
+    # compiled batch program serves ANY workload size — the fused runner
+    # is specialized on B, so unbounded batch sizes would mean one Mosaic
+    # compile per distinct B.  Microbatching also enables the 2-deep
+    # dispatch pipeline (host selection of batch i overlaps device compute
+    # of batch i+1).
+    micro_batch: int = _env_int("PSA_MICRO_BATCH", 1024)
+
     # defaults mirroring the reference CLI contract (def.h:20-21)
     default_input: str = "./input.txt"
     default_output: str = "./output.txt"

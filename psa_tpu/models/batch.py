@@ -355,11 +355,26 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     return run
 
 
+def _round_batch(n: int, cap: int) -> int:
+    """Next power of two >= n, capped (so one compiled program per size
+    bucket, not one per workload size)."""
+    r = 8
+    while r < n:
+        r *= 2
+    return max(min(r, cap), n)
+
+
 def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
                          interpret: bool | None = None, k: int = TOPK,
-                         fused: bool = True):
+                         fused: bool = True, micro_b: int | None = None):
     """Bit-exact batched search: device top-k candidates -> host sequential
     re-scoring (same machinery as the single-query path, ops/select.py).
+
+    Queries stream through the device in fixed-size microbatches (config
+    `micro_batch`, padded up to a power of two) with a 2-deep dispatch
+    pipeline: batch i+1 is uploaded and dispatched BEFORE batch i's results
+    are fetched, so host-side selection of batch i overlaps device compute
+    of batch i+1 and one compiled program serves any workload size.
 
     Returns a list of SearchResult | None (None = no mutation exists, the
     defined behavior for the reference's UB path, SURVEY.md Q3).  Queries
@@ -367,12 +382,11 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     numpy path — rare (requires >k offsets within ~1e-5 of the best), and
     correctness never depends on the f32 ranking.
     """
+    import collections
+
     import jax
 
-    from psa_tpu.core.oracle import offset_stats_numpy
-    from psa_tpu.core.result import NoMutationFound
-    from psa_tpu.ops.select import (candidate_epsilon, pick_from_candidates,
-                                    select_best, totals_from_stats)
+    from psa_tpu.config import CONFIG
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -380,19 +394,63 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     c2b = np.asarray(c2b)
     noffs = np.asarray(noffs)
     n2s = np.asarray(n2s)
-    if fused:
-        run = make_batched_fused_runner(tables, c1b.shape[0], c1b.shape[1],
-                                        c2b.shape[1], bool(interpret), k)
-    else:
-        run = make_batched_exact_runner(tables, c1b.shape[1], c2b.shape[1],
-                                        bool(interpret), k)
-    # ONE packed int8 upload + ONE packed int32 fetch: the remote-TPU
-    # tunnel charges per round trip, not per byte
-    buf = np.asarray(run(jnp.asarray(pack_query_inputs(c1b, c2b, noffs))))
-    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
-    stats_k = np.swapaxes(stats_k, 1, 2)     # (B, 5, k) -> (B, k, 5) on host
+    b_n, l1k = c1b.shape
+    l2p = c2b.shape[1]
+    mb = int(micro_b) if micro_b else CONFIG.micro_batch
+    results: list = [None] * b_n
 
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    def dispatch(s: int, e: int):
+        n = e - s
+        bpad = _round_batch(n, mb)
+        p1, p2, pn = c1b[s:e], c2b[s:e], noffs[s:e]
+        if bpad != n:
+            # dummy rows: all-PAD sequences, one offset — the epilogue sees
+            # no valid offset (maxrank -1 everywhere) and reports no-mutation
+            p1 = np.concatenate(
+                [p1, np.full((bpad - n, l1k), PAD_CODE, p1.dtype)])
+            p2 = np.concatenate(
+                [p2, np.full((bpad - n, l2p), PAD_CODE, p2.dtype)])
+            pn = np.concatenate([pn, np.ones(bpad - n, pn.dtype)])
+        if fused:
+            run = make_batched_fused_runner(tables, bpad, l1k, l2p,
+                                            bool(interpret), k)
+        else:
+            run = make_batched_exact_runner(tables, l1k, l2p,
+                                            bool(interpret), k)
+        # ONE packed int8 upload + async dispatch; the packed int32 output
+        # is fetched later in finish() (the remote-TPU tunnel charges per
+        # round trip, not per byte)
+        return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
+
+    def finish(span, dev_out):
+        s, e = span
+        buf = np.asarray(dev_out)[: e - s]
+        topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+        stats_k = np.swapaxes(stats_k, 1, 2)   # (n, 5, k) -> (n, k, 5)
+        results[s:e] = _host_select(c1b[s:e], c2b[s:e], noffs[s:e],
+                                    n2s[s:e], tables, topi, stats_k, near,
+                                    best, k)
+
+    pending: collections.deque = collections.deque()
+    for s in range(0, b_n, mb):
+        pending.append(((s, min(s + mb, b_n)), dispatch(s, min(s + mb, b_n))))
+        if len(pending) >= 2:
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
+    return results
+
+
+def _host_select(c1b, c2b, noffs, n2s, tables: ScoringTables, topi,
+                 stats_k, near, best, k: int) -> list:
+    """Bit-exact host selection for one microbatch -> list of results."""
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.result import NoMutationFound
     from psa_tpu.models.search import native_available
+    from psa_tpu.ops.select import (candidate_epsilon, pick_from_candidates,
+                                    select_best, totals_from_stats)
 
     b_n = c1b.shape[0]
     results: list = [None] * b_n

@@ -242,3 +242,24 @@ def test_pack_query_inputs_roundtrip_in_graph():
     np.testing.assert_array_equal(np.asarray(g1), c1b.astype(np.int8))
     np.testing.assert_array_equal(np.asarray(g2), c2b.astype(np.int8))
     np.testing.assert_array_equal(np.asarray(gn), noffs)
+
+
+def test_batched_exact_microbatch_pipeline(tables_min):
+    """B=20 with micro_b=8 exercises the 2-deep pipeline, the power-of-two
+    padding of the tail microbatch, and result reassembly in input order."""
+    rng = np.random.default_rng(3)
+    n1, n2, l1k, l2p = 600, 150, 768, 256
+    B = 20
+    c1b, c2b, noffs, n2s = _batch(rng, B, n1, n2, l1k, l2p)
+    got = batched_search_exact(c1b, c2b, noffs, n2s, tables_min,
+                               interpret=True, micro_b=8)
+    assert len(got) == B
+    for q in range(B):
+        counts, maxrank = offset_stats_numpy(c1b[q][:n1], c2b[q][:n2],
+                                             tables_min)
+        ref = select_best(counts, maxrank, tables_min, c1b[q][:n1],
+                          c2b[q][:n2])
+        r = got[q]
+        assert r is not None, q
+        assert (r.offset, r.char_offset, r.sub_code, r.score) == (
+            ref.offset, ref.char_offset, ref.sub_code, ref.score), q
