@@ -357,8 +357,10 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
 def _round_batch(n: int, cap: int) -> int:
     """Next power of two >= n, capped (so one compiled program per size
-    bucket, not one per workload size)."""
-    r = 8
+    bucket, not one per workload size).  Starts at 1: dummy rows are NOT
+    free — each one sweeps its full padded shape, which for an oversized
+    single query (the B=1 HBM-streaming path) would multiply device time."""
+    r = 1
     while r < n:
         r *= 2
     return max(min(r, cap), n)
