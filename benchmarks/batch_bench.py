@@ -43,17 +43,15 @@ def main():
     from psa_tpu.core.alphabet import pad_codes
     from psa_tpu.core.tables import build_tables
     from psa_tpu.models.batch import batched_pallas_winners
-    from psa_tpu.ops.common import round_up
-    from psa_tpu.ops.pallas_sweep import CHUNK, size_tile
+    from psa_tpu.ops.pallas_sweep import plan_shapes
     from psa_tpu.utils.generator import random_sequences
     from psa_tpu.core.alphabet import encode
 
     B, n1, n2 = args.batch, args.n1, args.n2
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
 
-    l2p = round_up(max(n2, CHUNK), CHUNK)
-    noff_pad = round_up(n1 - n2 + 1, size_tile(n1 - n2 + 1))
-    l1k = noff_pad + l2p
+    # same shape policy as production (search_batch / offset_stats_pallas)
+    _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
 
     rng_seqs = [random_sequences(n1, n2, seed=s) for s in range(B)]
     c1b = np.stack([pad_codes(encode(a), l1k) for a, _ in rng_seqs])

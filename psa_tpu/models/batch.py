@@ -182,20 +182,11 @@ def exact_topk_epilogue_rows(stats5, tables: ScoringTables, noff, l2p: int,
     the f32 ranking was insufficient, so no winner ever depends on f32
     rounding.  Returns (topi (..., k), stats_k (..., 5, k), near, best).
     """
-    w32 = np.asarray(tables.w_signed, np.float32)
-    diff32 = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    from psa_tpu.ops.common import keyed_f32_totals
+
     eps = np.float32(f32_band_epsilon(tables, l2p))
-    c = stats5.astype(jnp.float32)
-    total = (w32[0] * c[..., 0, :] + w32[1] * c[..., 1, :]
-             + w32[2] * c[..., 2, :] + w32[3] * c[..., 3, :])
-    mr = stats5[..., 4, :]
-    total = total + diff32[jnp.clip(mr, 0, None)]
-    offs = jnp.arange(mr.shape[-1], dtype=jnp.int32)
-    noff_arr = jnp.asarray(noff, dtype=jnp.int32)
-    valid = (mr >= 0) & (offs < noff_arr[..., None])
-    sign = 1.0 if tables.is_max else -1.0
-    keyed = jnp.where(valid, sign * total, -jnp.inf)
+    keyed, _ = keyed_f32_totals(stats5[..., :4, :], stats5[..., 4, :],
+                                tables, noff, counts_axis=-2)
     best = jnp.max(keyed, axis=-1)
     near = jnp.sum(keyed >= best[..., None] - eps, axis=-1)
     _, topi = jax.lax.top_k(keyed, k)

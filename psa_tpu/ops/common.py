@@ -25,24 +25,33 @@ def bucket_len(n: int, floor: int = 512, multiple: int = LANE) -> int:
     return b
 
 
-def keyed_f32_totals(counts, maxrank, tables, noff):
+def keyed_f32_totals(counts, maxrank, tables, noff, counts_axis: int = -1):
     """f32 in-graph ranking totals (jittable; shared by every device path).
 
-    counts: (..., N, 4) int; maxrank: (..., N) int; noff: scalar or (...,)
-    true offset counts.  Returns (keyed, total): `total` is the f32
-    post-substitution score per offset and `keyed` is sign-folded (argmax =
-    mode-best) with invalid offsets (no substitution / padding) at -inf.
-    Ranking in f32 is approximate by design — exactness-critical callers
-    pair this with integer stats + host re-scoring (ops/select.py,
+    counts: the 4 class counts along `counts_axis` (default -1: shape
+    (..., N, 4); pass -2 for the TPU-friendly rows layout (..., 4, N) where
+    the offset axis stays minor — transposing on device is a relayout);
+    maxrank: (..., N) int; noff: scalar or (...,) true offset counts.
+    Returns (keyed, total): `total` is the f32 post-substitution score per
+    offset and `keyed` is sign-folded (argmax = mode-best) with invalid
+    offsets (no substitution / padding) at -inf.  Ranking in f32 is
+    approximate by design — exactness-critical callers pair this with
+    integer stats + host re-scoring (ops/select.py,
     models/batch.exact_topk_epilogue's near-tie band).
     """
     import jax.numpy as jnp
 
-    w32 = jnp.asarray(tables.w_signed.astype(np.float32))
+    w32 = tables.w_signed.astype(np.float32)
     diff32 = jnp.asarray(
         np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
-    total = counts.astype(jnp.float32) @ w32 \
-        + diff32[jnp.clip(maxrank, 0, None)]
+    c = counts.astype(jnp.float32)
+    if counts_axis == -1:
+        total = c @ jnp.asarray(w32)
+    else:
+        assert counts_axis == -2
+        total = (w32[0] * c[..., 0, :] + w32[1] * c[..., 1, :]
+                 + w32[2] * c[..., 2, :] + w32[3] * c[..., 3, :])
+    total = total + diff32[jnp.clip(maxrank, 0, None)]
     offs = jnp.arange(maxrank.shape[-1], dtype=jnp.int32)
     noff_arr = jnp.asarray(noff, dtype=jnp.int32)
     valid = (maxrank >= 0) & (offs < noff_arr[..., None])

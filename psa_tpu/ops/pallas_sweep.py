@@ -104,6 +104,11 @@ def size_tile(noff: int) -> int:
 # fits. Overridable via PSA_MAX_L1_VMEM.
 MAX_L1_VMEM = CONFIG.max_l1_vmem
 
+# Batched kernel: VMEM budget (bytes) for the per-tile resident one-hot +
+# code window + column scratch (all scale with l2p); larger Seq2 streams
+# per-chunk windows instead (constant VMEM).
+RESIDENT_L2_BUDGET = 6 * 1024 * 1024
+
 
 def _shear_stride(m8, width: int, tile_o: int, chunk: int):
     """One strided rotate + 3 byte-recombine rolls -> packed aligned band.
@@ -224,7 +229,7 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
 
 def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
                           cscr_ref, oh_ref, pcq_ref, sems, *, nchunks: int,
-                          tile_o: int, chunk: int, l1q: int):
+                          tile_o: int, chunk: int, l1q: int, resident: bool):
     """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM.
 
     Replaces the lax.scan-of-sweeps batch path whose per-query dispatch
@@ -233,49 +238,89 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
     means Seq1 length is bounded by HBM, not VMEM.
 
     Seq1 arrives as RAW CODES (replicated to 4 sublanes — Mosaic's int8
-    tiling rejects 1-sublane slices): per tile, one (4, span) DMA brings
-    the tile's code window in and an iota-compare expands it to the
-    (32, span) one-hot in VMEM.  The earlier one-hot-operand design moved
-    32 bytes per char per tile over HBM and needed a 52 ms host-side
-    one_hot materialization pass at B=1000 — both costs collapse to 4
-    bytes per char and one in-kernel compare.
+    tiling rejects 1-sublane slices) and is one-hot expanded in-kernel by
+    an iota-compare.  The earlier one-hot-operand design moved 32 bytes
+    per char per tile over HBM and needed a 52 ms host-side one_hot
+    materialization pass at B=1000 — both costs collapse to 4 bytes per
+    char and one in-kernel compare.
+
+    resident=True (serving-sized Seq2): ONE (4, span) code-window DMA and
+    one (32, span) expand per tile, chunk views sliced from the resident
+    one-hot.  resident=False (Seq2 beyond the VMEM budget): per-chunk
+    double-buffered (4, width) window + (32, chunk) column DMAs with a
+    per-chunk expand — VMEM use is constant in l2p, so Seq2 is HBM-bounded
+    too (the expand recomputes the tile_o-wide overlap each chunk).
     """
     q = pl.program_id(0)
     o0 = pl.program_id(1) * tile_o
-    span = tile_o + nchunks * chunk
     width = tile_o + chunk
     acc_ref[...] = jnp.zeros_like(acc_ref)
     macc_ref[...] = jnp.zeros_like(macc_ref)
 
-    base = pl.multiple_of(q * l1q + o0, chunk)
-    cp_c = pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, span)],
-                                 cscr_ref, sems.at[0])
-    cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[1])
-    cp_c.start()
-    cp_pc.start()
-    cp_c.wait()
-    cp_pc.wait()
-    iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
-    row = cscr_ref[0:1, :].astype(jnp.int32)
-    oh_ref[...] = (iota == row).astype(jnp.int8)
+    if resident:
+        span = tile_o + nchunks * chunk
+        base = pl.multiple_of(q * l1q + o0, chunk)
+        cp_c = pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, span)],
+                                     cscr_ref, sems.at[0, 0])
+        cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[0, 1])
+        cp_c.start()
+        cp_pc.start()
+        cp_c.wait()
+        cp_pc.wait()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
+        row = cscr_ref[0:1, :].astype(jnp.int32)
+        oh_ref[...] = (iota == row).astype(jnp.int8)
 
-    def body(c, _):
-        win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
-        _contract_decode_accumulate(pcq_ref[c], win, acc_ref,
-                                    width=width, tile_o=tile_o, chunk=chunk,
-                                    macc_ref=macc_ref)
-        return 0
+        def body(c, _):
+            win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
+            _contract_decode_accumulate(pcq_ref[c], win, acc_ref,
+                                        width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref)
+            return 0
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+        jax.lax.fori_loop(0, nchunks, body, 0)
+    else:
+        def dmas(c, slot):
+            base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
+            return (pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, width)],
+                                          cscr_ref.at[slot],
+                                          sems.at[slot, 0]),
+                    pltpu.make_async_copy(pc_ref.at[q, c], pcq_ref.at[slot],
+                                          sems.at[slot, 1]))
+
+        for d in dmas(0, 0):
+            d.start()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (32, width), 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                for d in dmas(c + 1, nxt):
+                    d.start()
+
+            for d in dmas(c, slot):
+                d.wait()
+            row = cscr_ref[slot, 0:1, :].astype(jnp.int32)
+            win = (iota == row).astype(jnp.int8)
+            _contract_decode_accumulate(pcq_ref[slot], win, acc_ref,
+                                        width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
     _plane_max(macc_ref[...], acc_ref)
     out_ref[0] = acc_ref[...]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "noff_pad", "l2p", "interpret",
-                                    "tile_o"))
+                                    "tile_o", "resident"))
 def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
-                          interpret: bool, tile_o: int | None = None):
+                          interpret: bool, tile_o: int | None = None,
+                          resident: bool | None = None):
     """Batched sweep -> (B, 8, noff_pad) int32.
 
     s1c_all: (4, B * (noff_pad + l2p)) int8 raw codes, 4 identical sublane
@@ -289,9 +334,28 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
     nchunks = pc_all.shape[1]
     l1q = noff_pad + l2p
     span = tile_o + l2p
+    width = tile_o + chunk
     ntiles = noff_pad // tile_o
+    # resident scratch (one-hot + window + columns) scales with l2p; fall
+    # back to the constant-VMEM per-chunk streaming variant beyond a budget
+    # so Seq2 length stays HBM-bounded like Seq1
+    if resident is None:
+        resident = 36 * span + 32 * l2p <= RESIDENT_L2_BUDGET
     kernel = functools.partial(_sweep_kernel_batched, nchunks=nchunks,
-                               tile_o=tile_o, chunk=chunk, l1q=l1q)
+                               tile_o=tile_o, chunk=chunk, l1q=l1q,
+                               resident=resident)
+    if resident:
+        buf_shapes = [
+            pltpu.VMEM((4, span), jnp.int8),               # tile code window
+            pltpu.VMEM((32, span), jnp.int8),              # tile one-hot
+            pltpu.VMEM((nchunks, 32, chunk), jnp.int8),    # query code cols
+        ]
+    else:
+        buf_shapes = [
+            pltpu.VMEM((2, 4, width), jnp.int8),           # chunk windows x2
+            pltpu.VMEM((1, 1), jnp.int8),                  # (unused)
+            pltpu.VMEM((2, 32, chunk), jnp.int8),          # chunk columns x2
+        ]
     return pl.pallas_call(
         kernel,
         grid=(b, ntiles),
@@ -305,10 +369,8 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
         scratch_shapes=[
             pltpu.VMEM((8, tile_o), jnp.int32),
             pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
-            pltpu.VMEM((4, span), jnp.int8),               # tile code window
-            pltpu.VMEM((32, span), jnp.int8),              # tile one-hot
-            pltpu.VMEM((nchunks, 32, chunk), jnp.int8),    # query code cols
-            pltpu.SemaphoreType.DMA((2,)),
+            *buf_shapes,
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(pc_all, s1c_all)

@@ -263,3 +263,33 @@ def test_batched_exact_microbatch_pipeline(tables_min):
         assert r is not None, q
         assert (r.offset, r.char_offset, r.sub_code, r.score) == (
             ref.offset, ref.char_offset, ref.sub_code, ref.score), q
+
+
+def test_batched_kernel_streaming_matches_resident():
+    """The constant-VMEM per-chunk streaming variant (large-Seq2 fallback)
+    must bit-match the resident full-span variant, multi-tile and
+    multi-chunk."""
+    import jax.numpy as jnp
+
+    from psa_tpu.ops.pallas_sweep import _sweep_pallas_batched, pick_chunk
+
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    rng = np.random.default_rng(11)
+    B, n1, n2 = 3, 4000, 300
+    l2p, noff_pad = 512, 4096
+    l1k = noff_pad + l2p
+    c1b = np.stack([pad_codes(random_codes(rng, n1), l1k) for _ in range(B)])
+    c2b = np.stack([pad_codes(random_codes(rng, n2), l2p) for _ in range(B)])
+    code_tab = jnp.asarray(tables.code)
+    chunk = pick_chunk(l2p)
+    nck = l2p // chunk
+    pc = code_tab.astype(jnp.int8)[:, jnp.asarray(c2b)]
+    pc_all = (pc.transpose(1, 0, 2).reshape(B, 32, nck, chunk)
+              .transpose(0, 2, 1, 3)[:, :, :, ::-1])
+    s1c = jnp.broadcast_to(
+        jnp.asarray(c1b).reshape(1, -1).astype(jnp.int8), (4, B * l1k))
+    a = np.asarray(_sweep_pallas_batched(s1c, pc_all, B, noff_pad, l2p,
+                                         True, 2048, True))
+    b = np.asarray(_sweep_pallas_batched(s1c, pc_all, B, noff_pad, l2p,
+                                         True, 2048, False))
+    np.testing.assert_array_equal(a, b)
