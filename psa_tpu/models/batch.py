@@ -85,42 +85,62 @@ def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
 _PALLAS_RUNNERS: dict = {}
 
 
-def make_batched_pallas_runner(tables: ScoringTables, l1k: int, l2p: int,
-                               interpret: bool):
-    """Build (and cache) the jitted batched scan for one (tables, shapes)
-    configuration.  Re-tracing on every call costs ~0.8s host-side even with
-    the XLA compile cache warm, so callers must reuse this runner."""
-    key = (tuple(tables.weights.tolist()), tables.is_max, l1k, l2p, interpret)
+def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
+                  interpret: bool):
+    """Shared device front half of both batch runners: unpack the single
+    packed input upload, run the fused whole-batch Pallas sweep, and return
+    (stats5 (B, 5, noff_pad) int32, noffs (B,)) — rows 0-3 class counts,
+    row 4 maxrank, offset axis minor (the TPU-friendly layout)."""
+    from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
+                                          maxrank_from_maxcode, pick_chunk)
+
+    noff_pad = l1k - l2p
+    chunk = pick_chunk(l2p)
+    nchunks = l2p // chunk
+    code_tab = jnp.asarray(tables.code)
+
+    c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+    s1c_all = jnp.broadcast_to(
+        c1b.reshape(1, -1).astype(jnp.int8), (4, b * l1k))   # (4, B*l1q)
+    pc = code_tab.astype(jnp.int8)[:, c2b.astype(jnp.int32)]
+    pc_all = (pc.transpose(1, 0, 2)
+              .reshape(b, 32, nchunks, chunk)
+              .transpose(0, 2, 1, 3)[:, :, :, ::-1])
+    out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
+                                interpret)                   # (B, 8, NP)
+    maxrank = maxrank_from_maxcode(out[:, 4:5, :])
+    return jnp.concatenate([out[:, :4, :], maxrank], axis=1), noffs
+
+
+def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
+                               l2p: int, interpret: bool):
+    """Build (and cache) the jitted f32-winners runner for one (tables,
+    shapes) configuration.  Re-tracing on every call costs ~0.8s host-side
+    even with the XLA compile cache warm, so callers must reuse this
+    runner.  Same fused sweep as the exact path; only the epilogue differs
+    (in-graph f32 argmax instead of checkable top-k)."""
+    key = ("f32", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
+           l2p, interpret)
     cached = _PALLAS_RUNNERS.get(key)
     if cached is not None:
         return cached
 
     import jax
 
-    from psa_tpu.core.alphabet import NCODES_PAD
-    from psa_tpu.ops.pallas_sweep import CHUNK, _sweep_pallas, maxrank_from_maxcode
+    from psa_tpu.ops.common import keyed_f32_totals
 
-    noff_pad = l1k - l2p
-    assert noff_pad % 512 == 0 and l2p % CHUNK == 0
-    code_tab = jnp.asarray(tables.code)
-
-    # NOTE: a packed (query, tile)-grid variant (_sweep_pallas_batched) was
-    # measured SLOWER on chip than this scan (273 vs 503 q/s at B=1000,
-    # 2048x512): the 3-D blocked operands stall the pipeline and the
-    # materialized (B, 32, L1K) one-hot costs ~164MB of HBM traffic. The scan
-    # builds each query's one-hot on the fly and keeps the sweep 2-D.
     @jax.jit
-    def run(c1b, c2b, noffs):
-        def step(carry, q):
-            c1, c2 = q
-            s1oh_t = jax.nn.one_hot(c1, NCODES_PAD, dtype=jnp.int8, axis=0)
-            pc = code_tab.astype(jnp.int8)[:, c2]
-            out = _sweep_pallas(s1oh_t, pc, noff_pad, l2p // CHUNK, interpret)
-            maxrank = maxrank_from_maxcode(out[4:5, :])
-            return carry, jnp.concatenate([out[:4, :], maxrank], axis=0).T
-
-        _, stats = jax.lax.scan(step, 0, (c1b, c2b))    # (B, noff_pad, 5)
-        return batched_device_winners(stats, tables, noffs)
+    def run(inbuf):
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
+        keyed, total = keyed_f32_totals(stats5[:, :4, :], stats5[:, 4, :],
+                                        tables, noffs, counts_axis=-2)
+        best = jnp.argmax(keyed, axis=-1).astype(jnp.int32)
+        bi = jnp.arange(b)
+        # ONE packed fetch: [offset | maxrank | total_bits_f32] per row
+        return jnp.stack(
+            [best, stats5[bi, 4, best],
+             jax.lax.bitcast_convert_type(total[bi, best], jnp.int32)],
+            axis=1)
 
     _PALLAS_RUNNERS[key] = run
     return run
@@ -128,12 +148,12 @@ def make_batched_pallas_runner(tables: ScoringTables, l1k: int, l2p: int,
 
 def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
                            interpret: bool | None = None):
-    """Single-chip batched throughput path: scan the Pallas sweep over B
-    queries (each sweep saturates the chip; no host round-trips between
-    queries) and reduce each to its winner triple in-graph via
-    `batched_device_winners`.
+    """Single-chip batched throughput path: fused sweep + in-graph f32
+    winner argmax (no host re-scoring — ranking is f32-approximate, see
+    `keyed_f32_totals`; exactness-critical callers use
+    `batched_search_exact`).
 
-    c1b: (B, L1K) int32 codes padded so L1K = noff_pad + L2P with
+    c1b: (B, L1K) int codes padded so L1K = noff_pad + L2P with
     noff_pad = L1K - L2P a multiple of 512; c2b: (B, L2P).
     Returns (offsets (B,), maxranks (B,), totals_f32 (B,)).
     """
@@ -141,9 +161,12 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    run = make_batched_pallas_runner(tables, c1b.shape[1], c2b.shape[1],
-                                     bool(interpret))
-    return run(jnp.asarray(c1b), jnp.asarray(c2b), jnp.asarray(noffs))
+    c1b, c2b = np.asarray(c1b), np.asarray(c2b)
+    noffs = np.asarray(noffs)
+    run = make_batched_pallas_runner(tables, c1b.shape[0], c1b.shape[1],
+                                     c2b.shape[1], bool(interpret))
+    buf = np.asarray(run(jnp.asarray(pack_query_inputs(c1b, c2b, noffs))))
+    return buf[:, 0], buf[:, 1], buf[:, 2].view(np.float32)
 
 
 _EXACT_RUNNERS: dict = {}
@@ -316,29 +339,11 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     import jax
 
-    from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
-                                          maxrank_from_maxcode, pick_chunk)
-
-    noff_pad = l1k - l2p
-    assert noff_pad % 512 == 0 and l2p % 128 == 0
-    chunk = pick_chunk(l2p)
-    nchunks = l2p // chunk
-    code_tab = jnp.asarray(tables.code)
+    assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
 
     @jax.jit
     def run(inbuf):
-        c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
-        s1c_all = jnp.broadcast_to(
-            c1b.reshape(1, -1).astype(jnp.int8),
-            (4, b * l1k))                                    # (4, B*l1q)
-        pc = code_tab.astype(jnp.int8)[:, c2b.astype(jnp.int32)]
-        pc_all = (pc.transpose(1, 0, 2)
-                  .reshape(b, 32, nchunks, chunk)
-                  .transpose(0, 2, 1, 3)[:, :, :, ::-1])
-        out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
-                                    interpret)               # (B, 8, NP)
-        maxrank = maxrank_from_maxcode(out[:, 4:5, :])
-        stats5 = jnp.concatenate([out[:, :4, :], maxrank], axis=1)
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
         return pack_epilogue_outputs(
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
