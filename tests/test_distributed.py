@@ -108,3 +108,18 @@ def test_psa_dist_launcher(tmp_path):
     assert p.returncode == 0, p.stdout + p.stderr
     with open(out) as f, open(GOLDEN_OUTPUT) as g:
         assert f.read() == g.read()
+
+
+@pytest.mark.slow
+def test_two_process_four_devices_each(tmp_path):
+    """Pod shape: 2 processes x 4 local devices = 8-device global mesh.
+    The offset axis shards over local (ICI-analog) AND cross-process (DCN)
+    device boundaries in one mesh; golden byte parity proves the merge."""
+    port = _free_port()
+    cmds = [[sys.executable, _WORKER, str(i), "2", str(port),
+             GOLDEN_INPUT, str(tmp_path), "4"] for i in range(2)]
+    rcs, outs = _spawn(cmds)
+    assert rcs == [0, 0], f"worker failure:\n{outs[0]}\n---\n{outs[1]}"
+    assert "RANK0_OK" in outs[0] and "RANK1_OK" in outs[1]
+    with open(tmp_path / "out.txt") as f, open(GOLDEN_OUTPUT) as g:
+        assert f.read() == g.read()
