@@ -614,13 +614,32 @@ def search_batch(queries, backend: str = "auto",
             noffs = np.array([len(queries[i].seq1) - len(queries[i].seq2) + 1
                               for i in idxs], np.int32)
             n2s = np.array([len(queries[i].seq2) for i in idxs], np.int32)
-            rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
-            for i, r in zip(idxs, rs):
-                results[i] = r
-        else:
-            # one engine per bucket: the key guarantees shared (weights, mode)
+            try:
+                rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+            except Exception as e:  # noqa: BLE001 - degrade, don't die
+                # serving robustness: a device/compile/tunnel failure on one
+                # bucket degrades to the (slower, bit-identical) host engine
+                # instead of failing the whole batch
+                import sys
+
+                print(f"warning: device batch path failed "
+                      f"({type(e).__name__}: {e}); running this bucket on "
+                      f"the host engine", file=sys.stderr)
+                use_device = False
+            else:
+                for i, r in zip(idxs, rs):
+                    results[i] = r
+        if not use_device:
+            # one engine per bucket: the key guarantees shared (weights, mode).
+            # backend == "pallas" here means the device bucket just failed —
+            # route to a host engine, never back into the failing path.
+            from psa_tpu.models.search import native_available
+
+            host_backend = backend
+            if backend == "pallas":
+                host_backend = "native" if native_available() else "numpy"
             eng = AlignmentSearchEngine(np.asarray(w), is_max,
-                                        backend=backend,
+                                        backend=host_backend,
                                         strict_alphabet=strict_alphabet)
             for i in idxs:
                 q = queries[i]

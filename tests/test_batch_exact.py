@@ -293,3 +293,32 @@ def test_batched_kernel_streaming_matches_resident():
     b = np.asarray(_sweep_pallas_batched(s1c, pc_all, B, noff_pad, l2p,
                                          True, 2048, False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_search_batch_device_failure_degrades_to_host(monkeypatch, capsys):
+    """A device/tunnel failure on a bucket must degrade to the host engine
+    (correct results + warning), not fail the whole batch."""
+    from psa_tpu.models import batch as batch_mod
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import Query
+
+    rng = np.random.default_rng(13)
+    queries = [
+        Query(weights=np.array([1.0, 3.0, 4.0, 2.0]),
+              seq1=random_seq(rng, 400), seq2=random_seq(rng, 60),
+              is_max=False)
+        for _ in range(3)
+    ]
+
+    def boom(*a, **k):
+        raise RuntimeError("tunnel gone")
+
+    monkeypatch.setattr(batch_mod, "batched_search_exact", boom)
+    got = search_batch(queries, backend="pallas")
+    err = capsys.readouterr().err
+    assert "device batch path failed" in err
+    for q, r in zip(queries, got):
+        eng = AlignmentSearchEngine(q.weights, q.is_max, backend="numpy")
+        ref = eng.search(q.seq1, q.seq2)
+        assert (r.offset, r.char_offset, r.score) == (
+            ref.offset, ref.char_offset, ref.score)
