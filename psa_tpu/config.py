@@ -23,7 +23,7 @@ def _env_int(name: str, default: int) -> int:
 class EngineConfig:
     # Pallas sweep kernel
     # (seq2 pads to multiples of 128; the kernel internally re-chunks to the
-    # largest supported chunk <= 512, see ops/pallas_sweep.pick_chunk)
+    # largest supported chunk <= MAX_CHUNK=256, see ops/pallas_sweep.pick_chunk)
     tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 4096)  # max offsets per grid program
     max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 256 * 1024)
 

@@ -523,13 +523,9 @@ def _select_rows_vectorized(results: list, rows: np.ndarray, c1b, c2b,
     totals = np.where(valid, score + diffv, badv)
     bq = totals.max(axis=1) if tables.is_max else totals.min(axis=1)
 
-    # vectorized candidate_epsilon(tables, n2) per row
-    n2r = n2s[rows].astype(np.float64)
-    max_w = float(np.max(np.abs(tables.w_signed)))
-    max_d = (float(np.max(np.abs(tables.diff_vals)))
-             if tables.diff_vals.size else 0.0)
-    eps = (4.0 * (n2r + 8) * np.finfo(np.float64).eps
-           * np.maximum(n2r * max_w + max_d, 1.0))
+    from psa_tpu.ops.select import candidate_epsilon
+
+    eps = candidate_epsilon(tables, n2s[rows])       # (R,) vectorized
     cmask = valid & (np.abs(totals - bq[:, None]) <= eps[:, None])
 
     ri, ci = np.nonzero(cmask)
@@ -626,17 +622,22 @@ def search_batch(queries, backend: str = "auto",
                       f"({type(e).__name__}: {e}); running this bucket on "
                       f"the host engine", file=sys.stderr)
                 use_device = False
+                device_failed = True
             else:
                 for i, r in zip(idxs, rs):
                     results[i] = r
+                device_failed = False
+        else:
+            device_failed = False
         if not use_device:
             # one engine per bucket: the key guarantees shared (weights, mode).
-            # backend == "pallas" here means the device bucket just failed —
-            # route to a host engine, never back into the failing path.
+            # After a device failure ("pallas" or "auto"-routed) the fallback
+            # must be a HOST engine — "auto" would resolve large queries
+            # straight back into the failing device path.
             from psa_tpu.models.search import native_available
 
             host_backend = backend
-            if backend == "pallas":
+            if backend == "pallas" or (device_failed and backend == "auto"):
                 host_backend = "native" if native_available() else "numpy"
             eng = AlignmentSearchEngine(np.asarray(w), is_max,
                                         backend=host_backend,

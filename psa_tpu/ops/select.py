@@ -51,7 +51,7 @@ def _get_rescorer():
     return _batch_rescorer
 
 
-def candidate_epsilon(tables: ScoringTables, n2: int) -> float:
+def candidate_epsilon(tables: ScoringTables, n2):
     """Sound bound on |sequential f64 total - grouped f64 total|.
 
     Both totals round the same exact rational value; a sequential sum of n2
@@ -61,10 +61,12 @@ def candidate_epsilon(tables: ScoringTables, n2: int) -> float:
     headroom.  An offset outside this band of the grouped best cannot win
     under sequential semantics, so the candidate set is provably complete.
     """
-    max_w = float(np.max(np.abs(tables.w_signed))) if n2 else 0.0
+    max_w = float(np.max(np.abs(tables.w_signed))) if np.any(n2) else 0.0
     max_d = float(np.max(np.abs(tables.diff_vals))) if tables.diff_vals.size else 0.0
+    n2 = np.asarray(n2, np.float64)
     s_bound = n2 * max_w + max_d
-    return 4.0 * (n2 + 8) * np.finfo(np.float64).eps * max(s_bound, 1.0)
+    # accepts a scalar OR an (R,) array of n2s (the vectorized batch path)
+    return 4.0 * (n2 + 8) * np.finfo(np.float64).eps * np.maximum(s_bound, 1.0)
 
 
 def totals_from_stats(counts: np.ndarray, maxrank: np.ndarray,

@@ -145,13 +145,9 @@ def main(argv: list[str] | None = None) -> int:
                     raise ValueError(
                         "sequences must contain only A-Z and '-' "
                         "(pass --lenient to accept reference-UB inputs)")
-                kernel = "auto" if args.backend == "auto" else args.backend
-                if kernel not in ("auto", "pallas", "xla"):
-                    kernel = "xla"
-                    print(f"warning: backend {args.backend!r} has no sharded "
-                          "path; using the xla kernel", file=sys.stderr)
                 res = search_sharded(encode(query.seq1), encode(query.seq2),
-                                     engine.tables, kernel=kernel)
+                                     engine.tables,
+                                     kernel=_sharded_kernel(args.backend))
             else:
                 res = engine.search(query.seq1, query.seq2)
     except ValueError as e:
@@ -268,6 +264,15 @@ def _main_batch(args) -> int:
     return 1 if n_missing else 0
 
 
+def _sharded_kernel(backend: str) -> str:
+    """Backends with a sharded/distributed path; others coerce to xla."""
+    if backend in ("auto", "pallas", "xla"):
+        return backend
+    print(f"warning: backend {backend!r} has no sharded path; "
+          "using the xla kernel", file=sys.stderr)
+    return "xla"
+
+
 def _main_distributed(args) -> int:
     """Multi-process flow: initialize the pod, run the distributed search.
 
@@ -276,14 +281,16 @@ def _main_distributed(args) -> int:
     time trailer."""
     from psa_tpu.parallel import multihost
 
-    multihost.initialize(args.coordinator, args.num_processes,
-                         args.process_id, force=True)
+    try:
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id, force=True)
+    except Exception as e:  # noqa: BLE001 - no cluster to auto-discover
+        print(f"error: cannot join a pod slice ({type(e).__name__}: {e}); "
+              "pass --coordinator/--num-processes/--process-id explicitly "
+              "or launch via psa-dist", file=sys.stderr)
+        return 2
 
-    kernel = "auto" if args.backend == "auto" else args.backend
-    if kernel not in ("auto", "pallas", "xla"):
-        print(f"warning: backend {args.backend!r} has no sharded path; "
-              "using the xla kernel", file=sys.stderr)
-        kernel = "xla"
+    kernel = _sharded_kernel(args.backend)
     t0 = time.perf_counter()
     try:
         code = multihost.run_distributed_search(args.input, args.output,

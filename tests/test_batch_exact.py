@@ -322,3 +322,38 @@ def test_search_batch_device_failure_degrades_to_host(monkeypatch, capsys):
         ref = eng.search(q.seq1, q.seq2)
         assert (r.offset, r.char_offset, r.score) == (
             ref.offset, ref.char_offset, ref.score)
+
+
+def test_search_batch_auto_failure_does_not_reenter_device(monkeypatch,
+                                                           capsys):
+    """After a device-bucket failure under backend=auto, the fallback must
+    resolve to a HOST engine — auto would route big queries straight back
+    into the failing device path (review finding, round 2)."""
+    import jax
+
+    from psa_tpu.config import CONFIG
+    from psa_tpu.models import batch as batch_mod
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils.io import Query
+
+    rng = np.random.default_rng(17)
+    queries = [
+        Query(weights=np.array([1.0, 3.0, 4.0, 2.0]),
+              seq1=random_seq(rng, 400), seq2=random_seq(rng, 60),
+              is_max=False)
+        for _ in range(2)
+    ]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(CONFIG, "auto_threshold", 1)  # everything -> device
+
+    def boom(*a, **k):
+        raise RuntimeError("tunnel gone")
+
+    monkeypatch.setattr(batch_mod, "batched_search_exact", boom)
+    got = search_batch(queries, backend="auto")
+    assert "device batch path failed" in capsys.readouterr().err
+    for q, r in zip(queries, got):
+        eng = AlignmentSearchEngine(q.weights, q.is_max, backend="numpy")
+        ref = eng.search(q.seq1, q.seq2)
+        assert (r.offset, r.char_offset, r.score) == (
+            ref.offset, ref.char_offset, ref.score)
