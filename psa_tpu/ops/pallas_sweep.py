@@ -37,7 +37,8 @@ materialized timing — docs/DESIGN.md §6), same-session ladder:
   tile 4096 ............................................... 5.56 ms
   MXU-assisted mask counting .............................. 5.05 ms
   SWAR byte-max accumulation .............................. 4.94 ms
-= 2.0e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle
+  (same kernel, 48-iter chain amortizing tunnel RPC) ...... 4.03 ms
+= 2.5e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle
 (oracle-checked on hardware, not just interpret mode).
 """
 
