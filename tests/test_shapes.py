@@ -79,3 +79,31 @@ def test_bucket_len_monotone_and_bounded():
         prev = b
         # geometric buckets waste at most ~50%
         assert b <= max(512, round_up(n * 3 // 2 + 128, 128))
+
+
+def test_round_batch_invariants():
+    """Microbatch rounding: power of two, >= n, capped but never below n,
+    and 1 maps to 1 (dummy rows sweep their full shape — a padded-to-8
+    oversized single query would run its sweep eight times)."""
+    from psa_tpu.models.batch import _round_batch
+
+    assert _round_batch(1, 1024) == 1
+    for cap in (8, 100, 1024):
+        for n in list(range(1, 70)) + [127, 128, 129, 1000, 1024, 5000]:
+            r = _round_batch(n, cap)
+            assert r >= n                       # never truncates the batch
+            # a power of two, or the cap itself, or exactly n (n > cap)
+            assert (r & (r - 1) == 0) or r == cap or r == n
+            if n <= cap:
+                assert r <= cap                 # compile-size bounded
+
+
+def test_microbatch_spans_cover_in_order():
+    """The pipeline's span arithmetic must partition [0, B) exactly."""
+    for b_n in (1, 7, 8, 1000, 1024, 2049):
+        for mb in (1, 8, 1000, 1024):
+            spans = [(s, min(s + mb, b_n)) for s in range(0, b_n, mb)]
+            assert spans[0][0] == 0 and spans[-1][1] == b_n
+            for (a0, a1), (b0, _) in zip(spans, spans[1:]):
+                assert a1 == b0 and a1 - a0 == mb
+            assert all(e - s >= 1 for s, e in spans)
