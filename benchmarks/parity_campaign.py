@@ -1,0 +1,190 @@
+"""Large randomized bit-parity campaign (CPU, engines vs the numpy oracle).
+
+A scaled-up version of tests/test_fuzz.py for pre-release confidence runs:
+hundreds of random cases across modes, weight regimes (quarter-integer,
+irrational, adversarially tied), hyphen densities, and shape regimes
+(sub-tile, multi-tile, multi-chunk), exercising:
+
+  - end-to-end winners: native C++ and pallas-interpret vs the numpy oracle
+  - stats-level parity on multi-tile shapes (pallas interpret)
+  - the exact batched path (fused kernel + host selection) vs per-query
+
+Emits one JSON line; nonzero exit on any mismatch.
+
+Usage: python benchmarks/parity_campaign.py [--cases 200] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from psa_tpu.core.alphabet import OTHER_CODE
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.ops.pallas_sweep import offset_stats_pallas
+
+    rng = np.random.default_rng(args.seed)
+
+    def random_codes(n, hyphen_p=0.0, other_p=0.0):
+        c = rng.integers(0, 26, n, dtype=np.int32)
+        if hyphen_p:
+            c[rng.random(n) < hyphen_p] = 26
+        if other_p:
+            c[rng.random(n) < other_p] = OTHER_CODE
+        return c
+
+    def random_weights():
+        kind = rng.integers(0, 3)
+        if kind == 0:      # quarter-integers (exactly representable)
+            return np.round(rng.uniform(-4, 6, size=4) * 4) / 4
+        if kind == 1:      # irrational-ish (sequential-FP ordering matters)
+            return rng.uniform(-2, 4, size=4) * np.pi / 3
+        # tie-heavy: few distinct magnitudes
+        return rng.choice([0.5, 1.0, 2.0], size=4) * rng.choice([-1, 1], 4)
+
+    t0 = time.perf_counter()
+    mismatches = []
+    n_e2e = n_stats = n_batch = 0
+
+    # --- regime 1: end-to-end winners, small/medium shapes -----------------
+    n_r1 = args.cases * 7 // 10
+    for case in range(n_r1):
+        n2 = int(rng.integers(1, 500))
+        n1 = n2 + int(rng.integers(0, 2500))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        hp = float(rng.choice([0.0, 0.05, 0.3]))
+        c1, c2 = random_codes(n1, hp), random_codes(n2, hp)
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        outs = {}
+        for eng in ("native", "pallas"):
+            e = AlignmentSearchEngine(w, is_max, backend=eng)
+            try:
+                r = e.search_codes(c1, c2)
+                outs[eng] = (r.offset, r.char_offset, r.sub_code, r.score)
+            except Exception as ex:  # noqa: BLE001
+                outs[eng] = type(ex).__name__
+        try:
+            r = ref_eng.search_codes(c1, c2)
+            ref = (r.offset, r.char_offset, r.sub_code, r.score)
+        except Exception as ex:  # noqa: BLE001
+            ref = type(ex).__name__
+        for eng, got in outs.items():
+            n_e2e += 1
+            if got != ref:
+                mismatches.append({"regime": "e2e", "case": case,
+                                   "engine": eng, "got": str(got),
+                                   "want": str(ref),
+                                   "w": w.tolist(), "is_max": is_max})
+        if case % 20 == 0:
+            log(f"[campaign] e2e {case}/{n_r1} "
+                f"({time.perf_counter()-t0:.0f}s)")
+        if case % 50 == 49:
+            # every random shape leaves a compiled executable in the
+            # in-process cache; long campaigns OOM LLVM without this
+            jax.clear_caches()
+
+    # --- regime 2: multi-tile stats parity ---------------------------------
+    n_r2 = max(args.cases // 10, 3)
+    for case in range(n_r2):
+        n2 = int(rng.integers(300, 800))
+        n1 = n2 + int(rng.integers(5000, 12000))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        c1 = random_codes(n1, 0.05)
+        c2 = random_codes(n2, 0.05)
+        t = build_tables(w, is_max)
+        counts, maxrank = offset_stats_pallas(c1, c2, t, interpret=True)
+        rc, rm = offset_stats_numpy(c1, c2, t)
+        n_stats += 1
+        if not (np.array_equal(counts, rc) and np.array_equal(maxrank, rm)):
+            mismatches.append({"regime": "stats", "case": case,
+                               "w": w.tolist(), "is_max": is_max})
+        log(f"[campaign] stats {case+1}/{n_r2} "
+            f"({time.perf_counter()-t0:.0f}s)")
+        if case % 10 == 9:
+            jax.clear_caches()
+
+    # --- regime 3: batched exact path vs per-query -------------------------
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.models.batch import batched_search_exact
+
+    n_r3 = max(args.cases // 10, 2)
+    for case in range(n_r3):
+        n2 = int(rng.integers(50, 300))
+        n1 = n2 + int(rng.integers(200, 1400))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        t = build_tables(w, is_max)
+        B = int(rng.integers(2, 9))
+        noff = n1 - n2 + 1
+        from psa_tpu.ops.pallas_sweep import plan_shapes
+
+        _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+        c1b = np.stack([pad_codes(random_codes(n1, 0.05), l1k)
+                        for _ in range(B)])
+        c2b = np.stack([pad_codes(random_codes(n2, 0.05), l2p)
+                        for _ in range(B)])
+        noffs = np.full(B, noff, np.int32)
+        n2s = np.full(B, n2, np.int32)
+        rs = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True,
+                                  micro_b=int(rng.choice([4, 1024])))
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        for q in range(B):
+            n_batch += 1
+            try:
+                r = ref_eng.search_codes(c1b[q][:n1], c2b[q][:n2])
+                want = (r.offset, r.char_offset, r.sub_code, r.score)
+            except Exception:  # noqa: BLE001
+                want = None
+            got = rs[q]
+            got = (None if got is None else
+                   (got.offset, got.char_offset, got.sub_code, got.score))
+            if got != want:
+                mismatches.append({"regime": "batch", "case": case, "q": q,
+                                   "got": str(got), "want": str(want),
+                                   "w": w.tolist(), "is_max": is_max})
+        log(f"[campaign] batch {case+1}/{n_r3} "
+            f"({time.perf_counter()-t0:.0f}s)")
+        if case % 10 == 9:
+            from psa_tpu.models import batch as _bm
+
+            _bm._EXACT_RUNNERS.clear()   # shape-keyed runner closures
+            jax.clear_caches()
+
+    out = {
+        "metric": "parity_campaign",
+        "seed": args.seed,
+        "checks": {"e2e": n_e2e, "multitile_stats": n_stats,
+                   "batch_queries": n_batch},
+        "mismatches": mismatches,
+        "ok": not mismatches,
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    print(json.dumps(out))
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
