@@ -123,3 +123,16 @@ def test_two_process_four_devices_each(tmp_path):
     assert "RANK0_OK" in outs[0] and "RANK1_OK" in outs[1]
     with open(tmp_path / "out.txt") as f, open(GOLDEN_OUTPUT) as g:
         assert f.read() == g.read()
+
+
+@pytest.mark.slow
+def test_four_process_golden(tmp_path):
+    """4 ranks (the reference was demonstrated at -np 2; the protocol must
+    not be 2-special): golden byte parity, every rank exits clean."""
+    port = _free_port()
+    cmds = [[sys.executable, _WORKER, str(i), "4", str(port),
+             GOLDEN_INPUT, str(tmp_path)] for i in range(4)]
+    rcs, outs = _spawn(cmds, timeout=240)
+    assert rcs == [0] * 4, "\n---\n".join(outs)
+    with open(tmp_path / "out.txt") as f, open(GOLDEN_OUTPUT) as g:
+        assert f.read() == g.read()
