@@ -60,7 +60,11 @@ def bench_sweep(engine: str, n1: int, n2: int, iters: int, seed: int = 0):
                            jnp.asarray(tables.code), l1k, l2p)
 
         def one(aa, bb):
-            out = ps._sweep_pallas(aa, bb, noff_pad, l2p // ps.CHUNK, interpret)
+            # with_valid=False is the production configuration for clean
+            # inputs (offset_stats_pallas skips the valid-count mask and
+            # reconstructs cls3 on the host as n2 - rest)
+            out = ps._sweep_pallas(aa, bb, noff_pad, l2p // ps.CHUNK, interpret,
+                                   with_valid=False)
             return out[0, 0] + out[4, -1]
     elif engine == "conv":
         from psa_tpu.ops.common import pad_query

@@ -24,7 +24,11 @@ class EngineConfig:
     # Pallas sweep kernel
     # (seq2 pads to multiples of 128; the kernel internally re-chunks to the
     # largest supported chunk <= MAX_CHUNK=256, see ops/pallas_sweep.pick_chunk)
-    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 4096)  # max offsets per grid program
+    # max offsets per grid program; tiles above 4096 raise the Mosaic
+    # scoped-VMEM limit (ops/pallas_sweep._compiler_params) — bigger tiles
+    # amortize the chunk-window overlap and per-tile epilogue (measured
+    # 3.64/3.46/3.47/3.40 ms per 131072x8192 sweep at 4096/8192/16384/32768)
+    tile_offsets: int = _env_int("PSA_TILE_OFFSETS", 32768)
     max_l1_vmem: int = _env_int("PSA_MAX_L1_VMEM", 256 * 1024)
 
     # padding buckets

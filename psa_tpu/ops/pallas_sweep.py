@@ -72,6 +72,25 @@ _B1 = np.int32(0x01010101)
 _BYTE3 = np.int32(-16777216)   # 0xFF000000
 
 
+def _compiler_params(tile_o: int):
+    """Mosaic scoped-VMEM limit for big offset tiles.
+
+    The default 16MB scoped-vmem limit caps the tile at 4096 (the per-chunk
+    (C, T+C) int32 contraction output + shear temporaries live on the kernel
+    stack).  Bigger tiles amortize the window overlap and the per-tile
+    epilogue and measured strictly faster on v5e (3.64 / 3.46 / 3.47 / 3.40
+    ms per 131072x8192 sweep at tile 4096 / 8192 / 16384 / 32768, interleaved
+    same-session), so raise the limit with the tile; v5e has 128MB physical
+    VMEM and the resident-path stack need is a function of (tile, chunk<=256)
+    only, so each entry here is a measured-safe constant.
+    """
+    if tile_o <= 4096:
+        return {}
+    limits = {8192: 48, 16384: 100}
+    limit = limits.get(tile_o, 110) * 1024 * 1024
+    return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=limit)}
+
+
 def pick_chunk(l2p: int) -> int:
     """Largest supported chunk dividing l2p (bigger chunks amortize the
     per-chunk matmul/shear fixed costs; 256 measured 6.0 vs 6.6 ms at 128)."""
@@ -374,6 +393,7 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
+        **_compiler_params(tile_o),
     )(pc_all, s1c_all)
 
 
@@ -415,6 +435,7 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
             pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
         ],
         interpret=interpret,
+        **_compiler_params(tile_o),
     )(pc3, s1oh_t)
 
 
