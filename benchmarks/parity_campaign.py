@@ -151,13 +151,19 @@ def main():
         rs = batched_search_exact(c1b, c2b, noffs, n2s, t, interpret=True,
                                   micro_b=int(rng.choice([4, 1024])))
         ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        from psa_tpu.core.result import NoMutationFound
+
         for q in range(B):
             n_batch += 1
             try:
                 r = ref_eng.search_codes(c1b[q][:n1], c2b[q][:n2])
                 want = (r.offset, r.char_offset, r.sub_code, r.score)
-            except Exception:  # noqa: BLE001
-                want = None
+            except NoMutationFound:
+                want = None          # the batch path's legitimate None
+            except Exception as ex:  # noqa: BLE001
+                # any other oracle failure must surface as a mismatch, not
+                # collapse into the no-mutation None
+                want = type(ex).__name__
             got = rs[q]
             got = (None if got is None else
                    (got.offset, got.char_offset, got.sub_code, got.score))

@@ -351,6 +351,12 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     return run
 
 
+def microbatch_spans(b_n: int, mb: int) -> list:
+    """Contiguous [start, end) spans covering [0, b_n) in steps of mb —
+    the batched_search_exact pipeline's work partition."""
+    return [(s, min(s + mb, b_n)) for s in range(0, b_n, mb)]
+
+
 def _round_batch(n: int, cap: int) -> int:
     """Next power of two >= n, capped (so one compiled program per size
     bucket, not one per workload size).  Starts at 1: dummy rows are NOT
@@ -432,8 +438,8 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
                                     best, k)
 
     pending: collections.deque = collections.deque()
-    for s in range(0, b_n, mb):
-        pending.append(((s, min(s + mb, b_n)), dispatch(s, min(s + mb, b_n))))
+    for s, e in microbatch_spans(b_n, mb):
+        pending.append(((s, e), dispatch(s, e)))
         if len(pending) >= 2:
             finish(*pending.popleft())
     while pending:

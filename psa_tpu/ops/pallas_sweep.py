@@ -38,8 +38,12 @@ materialized timing — docs/DESIGN.md §6), same-session ladder:
   MXU-assisted mask counting .............................. 5.05 ms
   SWAR byte-max accumulation .............................. 4.94 ms
   (same kernel, 48-iter chain amortizing tunnel RPC) ...... 4.03 ms
-= 2.5e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle
-(oracle-checked on hardware, not just interpret mode).
+  tile 32768 via raised scoped-VMEM limit + clean-input
+  with_valid=False (current bench default) ................ 3.50 ms
+= 2.87e11 pair-evals/s/chip.  Each step bit-exact vs the numpy oracle
+(oracle-checked on hardware, not just interpret mode).  Like-for-like
+tile effect alone: 3.64 -> 3.40 ms interleaved same-session (novalid);
+see docs/DESIGN.md §6 for the attribution caveat.
 """
 
 from __future__ import annotations
@@ -58,7 +62,11 @@ from psa_tpu.ops.common import round_up
 
 from psa_tpu.config import CONFIG
 
-TILE_O = CONFIG.tile_offsets   # default offsets per grid program (PSA_TILE_OFFSETS)
+# Default offsets per grid program (PSA_TILE_OFFSETS), clamped at 32768:
+# above that the kernel stack (the (C, T+C) int32 contraction output + shear
+# temporaries, ~3.3KB per offset at chunk 256) exceeds v5e's 128MB physical
+# VMEM — no scoped-VMEM limit can admit it.
+TILE_O = min(CONFIG.tile_offsets, 32768)
 CHUNK = 128                    # seq2 padding granularity (min chunk)
 # 512 is SWAR-safe (per-field counts <= 128 < 256) and bit-exact in
 # interpret mode, but at tile 4096 its VMEM footprint is borderline
@@ -72,7 +80,28 @@ _B1 = np.int32(0x01010101)
 _BYTE3 = np.int32(-16777216)   # 0xFF000000
 
 
-def _compiler_params(tile_o: int):
+# Measured-safe scoped-VMEM requests for the single-query kernel at
+# chunk<=256 (each compiled + parity-checked on a v5e chip).  16MB is
+# Mosaic's default for tiles <= 4096.  Tiles beyond 32768 are impossible on
+# v5e (see TILE_O) so no entry exists for them.
+_MEASURED_LIMIT_MB = {8192: 48, 16384: 100, 32768: 110}
+# Extra kernel stack the BATCHED kernel adds on top of the single-query
+# stack and that is covered by the base request without raising it: the
+# hardware-validated 1M-char hbm1 run at tile 32768 carried ~5.8MB of
+# expand/scratch on the 110MB request.
+_VALIDATED_EXTRA = 6 * 1024 * 1024
+# Never request more than this (v5e physical VMEM is 128MB/core and the
+# pipeline's block buffers need headroom; 110MB is the largest measured
+# request — the band up to 116MB is extrapolation, used only for configs
+# whose extra stack exceeds the validated envelope).
+_VMEM_REQUEST_CAP = 116 * 1024 * 1024
+
+
+def _single_limit_bytes(tile_o: int) -> int:
+    return _MEASURED_LIMIT_MB.get(min(tile_o, 32768), 16) * 1024 * 1024
+
+
+def _compiler_params(tile_o: int, extra_bytes: int = 0):
     """Mosaic scoped-VMEM limit for big offset tiles.
 
     The default 16MB scoped-vmem limit caps the tile at 4096 (the per-chunk
@@ -80,14 +109,19 @@ def _compiler_params(tile_o: int):
     stack).  Bigger tiles amortize the window overlap and the per-tile
     epilogue and measured strictly faster on v5e (3.64 / 3.46 / 3.47 / 3.40
     ms per 131072x8192 sweep at tile 4096 / 8192 / 16384 / 32768, interleaved
-    same-session), so raise the limit with the tile; v5e has 128MB physical
-    VMEM and the resident-path stack need is a function of (tile, chunk<=256)
-    only, so each entry here is a measured-safe constant.
+    same-session), so raise the limit with the tile.
+
+    `extra_bytes`: additional stack the caller's kernel variant needs beyond
+    the single-query kernel (the batched kernel's in-kernel one-hot expand).
+    Within the hardware-validated envelope the measured request already
+    covers it; beyond, the request grows (capped at _VMEM_REQUEST_CAP —
+    callers must shrink the tile rather than exceed the cap).
     """
-    if tile_o <= 4096:
+    if tile_o <= 4096 and extra_bytes <= _VALIDATED_EXTRA:
         return {}
-    limits = {8192: 48, 16384: 100}
-    limit = limits.get(tile_o, 110) * 1024 * 1024
+    base = _single_limit_bytes(tile_o)
+    limit = base if extra_bytes <= _VALIDATED_EXTRA else min(
+        base + extra_bytes, _VMEM_REQUEST_CAP)
     return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=limit)}
 
 
@@ -348,19 +382,38 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
     pc_all: (B, nchunks, 32, chunk) int8 code columns, reversed in-chunk
     (see _shear_stride).
     """
-    if tile_o is None:
-        tile_o = pick_tile(noff_pad)
     chunk = pc_all.shape[3]
     nchunks = pc_all.shape[1]
     l1q = noff_pad + l2p
+
+    def _resident(t):
+        # resident scratch (one-hot + window + columns) scales with l2p; fall
+        # back to the constant-VMEM per-chunk streaming variant beyond a
+        # budget so Seq2 length stays HBM-bounded like Seq1
+        return 36 * (t + l2p) + 32 * l2p <= RESIDENT_L2_BUDGET
+
+    def _extra(t, res):
+        # in-kernel expand stack beyond the single-query kernel: iota
+        # (32, span) int32 + the one-hot compare/scratch.  The resident
+        # variant also holds the full (nchunks, 32, chunk) column scratch;
+        # the streaming variant's buffers are constant in l2p.
+        if res:
+            return 164 * (t + l2p) + 32 * l2p
+        return 170 * (t + chunk)
+
+    if tile_o is None:
+        # auto tile: the measured single-kernel request + this variant's
+        # expand stack must fit under the request cap; shrink the tile (which
+        # shrinks both terms) until it does
+        tile_o = pick_tile(noff_pad)
+        while (tile_o > 512 and _single_limit_bytes(tile_o)
+               + _extra(tile_o, _resident(tile_o)) > _VMEM_REQUEST_CAP):
+            tile_o //= 2
+    if resident is None:
+        resident = _resident(tile_o)
     span = tile_o + l2p
     width = tile_o + chunk
     ntiles = noff_pad // tile_o
-    # resident scratch (one-hot + window + columns) scales with l2p; fall
-    # back to the constant-VMEM per-chunk streaming variant beyond a budget
-    # so Seq2 length stays HBM-bounded like Seq1
-    if resident is None:
-        resident = 36 * span + 32 * l2p <= RESIDENT_L2_BUDGET
     kernel = functools.partial(_sweep_kernel_batched, nchunks=nchunks,
                                tile_o=tile_o, chunk=chunk, l1q=l1q,
                                resident=resident)
@@ -393,7 +446,7 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-        **_compiler_params(tile_o),
+        **_compiler_params(tile_o, _extra(tile_o, resident)),
     )(pc_all, s1c_all)
 
 

@@ -99,10 +99,13 @@ def test_round_batch_invariants():
 
 
 def test_microbatch_spans_cover_in_order():
-    """The pipeline's span arithmetic must partition [0, B) exactly."""
+    """The pipeline's span arithmetic must partition [0, B) exactly —
+    tested on the real helper batched_search_exact iterates over."""
+    from psa_tpu.models.batch import microbatch_spans
+
     for b_n in (1, 7, 8, 1000, 1024, 2049):
         for mb in (1, 8, 1000, 1024):
-            spans = [(s, min(s + mb, b_n)) for s in range(0, b_n, mb)]
+            spans = microbatch_spans(b_n, mb)
             assert spans[0][0] == 0 and spans[-1][1] == b_n
             for (a0, a1), (b0, _) in zip(spans, spans[1:]):
                 assert a1 == b0 and a1 - a0 == mb
