@@ -281,6 +281,38 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
     out_ref[...] = acc_ref[...]
 
 
+def _batched_resident(tile_o: int, l2p: int) -> bool:
+    """Resident scratch (one-hot + window + columns) scales with l2p; beyond
+    a budget the kernel streams per-chunk windows (constant VMEM in l2p) so
+    Seq2 length stays HBM-bounded like Seq1."""
+    return 36 * (tile_o + l2p) + 32 * l2p <= RESIDENT_L2_BUDGET
+
+
+def _batched_extra_bytes(tile_o: int, l2p: int, chunk: int,
+                         resident: bool) -> int:
+    """In-kernel expand stack the batched kernel adds beyond the single-query
+    kernel: iota (32, span) int32 + the one-hot compare/scratch.  The
+    resident variant also holds the full (nchunks, 32, chunk) column scratch;
+    the streaming variant's buffers are constant in l2p."""
+    if resident:
+        return 164 * (tile_o + l2p) + 32 * l2p
+    return 170 * (tile_o + chunk)
+
+
+def batched_plan(noff_pad: int, l2p: int, chunk: int):
+    """(tile, resident, extra_stack_bytes) for the batched kernel: the
+    measured single-kernel request + this variant's expand stack must fit
+    under the VMEM request cap; shrink the tile (which shrinks both terms)
+    until it does."""
+    tile = pick_tile(noff_pad)
+    while True:
+        res = _batched_resident(tile, l2p)
+        extra = _batched_extra_bytes(tile, l2p, chunk, res)
+        if tile <= 512 or _single_limit_bytes(tile) + extra <= _VMEM_REQUEST_CAP:
+            return tile, res, extra
+        tile //= 2
+
+
 def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
                           cscr_ref, oh_ref, pcq_ref, sems, *, nchunks: int,
                           tile_o: int, chunk: int, l1q: int, resident: bool):
@@ -385,32 +417,11 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
     chunk = pc_all.shape[3]
     nchunks = pc_all.shape[1]
     l1q = noff_pad + l2p
-
-    def _resident(t):
-        # resident scratch (one-hot + window + columns) scales with l2p; fall
-        # back to the constant-VMEM per-chunk streaming variant beyond a
-        # budget so Seq2 length stays HBM-bounded like Seq1
-        return 36 * (t + l2p) + 32 * l2p <= RESIDENT_L2_BUDGET
-
-    def _extra(t, res):
-        # in-kernel expand stack beyond the single-query kernel: iota
-        # (32, span) int32 + the one-hot compare/scratch.  The resident
-        # variant also holds the full (nchunks, 32, chunk) column scratch;
-        # the streaming variant's buffers are constant in l2p.
-        if res:
-            return 164 * (t + l2p) + 32 * l2p
-        return 170 * (t + chunk)
-
     if tile_o is None:
-        # auto tile: the measured single-kernel request + this variant's
-        # expand stack must fit under the request cap; shrink the tile (which
-        # shrinks both terms) until it does
-        tile_o = pick_tile(noff_pad)
-        while (tile_o > 512 and _single_limit_bytes(tile_o)
-               + _extra(tile_o, _resident(tile_o)) > _VMEM_REQUEST_CAP):
-            tile_o //= 2
+        tile_o, _, _ = batched_plan(noff_pad, l2p, chunk)
     if resident is None:
-        resident = _resident(tile_o)
+        resident = _batched_resident(tile_o, l2p)
+    extra = _batched_extra_bytes(tile_o, l2p, chunk, resident)
     span = tile_o + l2p
     width = tile_o + chunk
     ntiles = noff_pad // tile_o
@@ -446,7 +457,7 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-        **_compiler_params(tile_o, _extra(tile_o, resident)),
+        **_compiler_params(tile_o, extra),
     )(pc_all, s1c_all)
 
 

@@ -98,7 +98,22 @@ def test_round_batch_invariants():
                 assert r <= cap                 # compile-size bounded
 
 
-def test_microbatch_spans_cover_in_order():
+def test_batched_auto_tile_respects_vmem_cap():
+    """The batched kernel's auto tile must keep (measured single-kernel
+    request + expand stack) under the VMEM request cap for any shape, and
+    must still divide noff_pad."""
+    from psa_tpu.ops.pallas_sweep import (
+        _VMEM_REQUEST_CAP, _single_limit_bytes, batched_plan)
+
+    rng = np.random.default_rng(2)
+    for _ in range(200):
+        l2p = 256 * int(rng.integers(1, 1200))
+        noff_pad = 512 * int(rng.integers(1, 3000))
+        t, _, ex = batched_plan(noff_pad, l2p, 256)
+        assert noff_pad % t == 0
+        assert t <= 32768
+        if t > 512:
+            assert _single_limit_bytes(t) + ex <= _VMEM_REQUEST_CAP
     """The pipeline's span arithmetic must partition [0, B) exactly —
     tested on the real helper batched_search_exact iterates over."""
     from psa_tpu.models.batch import microbatch_spans
