@@ -122,12 +122,41 @@ def bench_golden(engine: str):
     return dt, ok
 
 
+def _probe_accelerator(deadline_s: float = 240.0) -> bool:
+    """True iff JAX device init completes within the deadline.
+
+    When the remote-TPU tunnel is half-dead, the accelerator plugin's init
+    RETRIES INDEFINITELY (measured: jax.devices() hung >4.5 min with the
+    relay down) — so probe in a subprocess with a hard deadline and fall
+    back to CPU instead of hanging the benchmark run.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            timeout=deadline_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--engine", default=None, choices=[None, "pallas", "conv"])
     args = ap.parse_args()
 
+    degraded = None
+    if not _probe_accelerator():
+        log("[bench] accelerator init did not complete within the probe "
+            "deadline (dead device tunnel?) — forcing CPU")
+        degraded = "accelerator_unreachable"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.quick = True          # interpret/conv on CPU: keep shapes small
     import jax
 
     from psa_tpu.utils.cache import enable_compilation_cache
@@ -181,6 +210,7 @@ def main():
             "sweep_ms": dt * 1e3,
             "golden_e2e_ms": golden_dt * 1e3,
             "golden_parity": golden_ok,
+            **({"degraded": degraded} if degraded else {}),
         },
     }
     print(json.dumps(result))
