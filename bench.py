@@ -122,40 +122,21 @@ def bench_golden(engine: str):
     return dt, ok
 
 
-def _probe_accelerator(deadline_s: float = 240.0) -> bool:
-    """True iff JAX device init completes within the deadline.
-
-    When the remote-TPU tunnel is half-dead, the accelerator plugin's init
-    RETRIES INDEFINITELY (measured: jax.devices() hung >4.5 min with the
-    relay down) — so probe in a subprocess with a hard deadline and fall
-    back to CPU instead of hanging the benchmark run.
-    """
-    import subprocess
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
-            timeout=deadline_s, capture_output=True, text=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--engine", default=None, choices=[None, "pallas", "conv"])
     args = ap.parse_args()
 
-    degraded = None
-    if not _probe_accelerator():
-        log("[bench] accelerator init did not complete within the probe "
-            "deadline (dead device tunnel?) — forcing CPU")
-        degraded = "accelerator_unreachable"
-        import jax
+    # Bounded device-init probe: a dead remote tunnel otherwise retries init
+    # forever and would hang the whole benchmark run (utils/health.py).
+    from psa_tpu.utils.health import effective_platform, was_degraded
 
-        jax.config.update("jax_platforms", "cpu")
+    effective_platform()
+    degraded = None
+    if was_degraded():
+        log("[bench] accelerator unreachable — degraded CPU quick run")
+        degraded = "accelerator_unreachable"
         args.quick = True          # interpret/conv on CPU: keep shapes small
     import jax
 

@@ -60,6 +60,11 @@ class EngineConfig:
     # one program.  Default 1 until measured faster on hardware.
     batch_qpp: int = _env_int("PSA_BATCH_QPP", 1)
 
+    # accelerator health probe deadline (seconds) for the `auto` backend
+    # and bench.py — device init through a dead remote tunnel otherwise
+    # retries forever (utils/health.py)
+    probe_deadline: int = _env_int("PSA_PROBE_DEADLINE", 240)
+
     # defaults mirroring the reference CLI contract (def.h:20-21)
     default_input: str = "./input.txt"
     default_output: str = "./output.txt"

@@ -603,7 +603,11 @@ def search_batch(queries, backend: str = "auto",
             total_pe = sum(
                 (len(queries[i].seq1) - len(queries[i].seq2) + 1)
                 * len(queries[i].seq2) for i in idxs)
-            use_device = (jax.default_backend() == "tpu"
+            # bounded platform probe — a dead device tunnel degrades to the
+            # host engine instead of hanging init (utils/health.py)
+            from psa_tpu.utils.health import effective_platform
+
+            use_device = (effective_platform() == "tpu"
                           and total_pe >= CONFIG.auto_threshold)
         else:
             use_device = backend == "pallas"

@@ -69,10 +69,16 @@ def resolve_auto(n1: int | None = None, n2: int | None = None,
         if pair_evals < CONFIG.auto_threshold and native_available():
             return "native"
     if platform is None:
-        import jax
+        # bounded probe: a dead remote-TPU tunnel must degrade `auto` to a
+        # host platform, not hang device init forever (utils/health.py)
+        from psa_tpu.utils.health import effective_platform
 
-        platform = jax.devices()[0].platform
-    return "pallas" if platform == "tpu" else "conv"
+        platform = effective_platform()
+    if platform == "tpu":
+        return "pallas"
+    # no accelerator: the native host engine (~2e9 pair-evals/s) beats the
+    # XLA conv path on CPU (~7e7 evals/s measured) at every size
+    return "native" if native_available() else "conv"
 
 
 class AlignmentSearchEngine:

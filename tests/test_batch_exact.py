@@ -106,11 +106,10 @@ def test_search_batch_mixed_sizes_host_path():
 def test_search_batch_auto_is_workload_aware(monkeypatch):
     """`--backend auto` routes small buckets to the host engine and big
     buckets to the device path, per bucket (cpu_funcs.c:135-142 analog)."""
-    import jax
-
     from psa_tpu.config import CONFIG
     from psa_tpu.models import batch as batch_mod
     from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils import health
     from psa_tpu.utils.io import Query
 
     rng = np.random.default_rng(7)
@@ -120,7 +119,7 @@ def test_search_batch_auto_is_workload_aware(monkeypatch):
               is_max=False)
         for _ in range(3)
     ]
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(health, "effective_platform", lambda *a, **k: "tpu")
 
     device_calls = []
 
@@ -361,11 +360,10 @@ def test_search_batch_auto_failure_does_not_reenter_device(monkeypatch,
     """After a device-bucket failure under backend=auto, the fallback must
     resolve to a HOST engine — auto would route big queries straight back
     into the failing device path (review finding, round 2)."""
-    import jax
-
     from psa_tpu.config import CONFIG
     from psa_tpu.models import batch as batch_mod
     from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.utils import health
     from psa_tpu.utils.io import Query
 
     rng = np.random.default_rng(17)
@@ -375,7 +373,7 @@ def test_search_batch_auto_failure_does_not_reenter_device(monkeypatch,
               is_max=False)
         for _ in range(2)
     ]
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(health, "effective_platform", lambda *a, **k: "tpu")
     monkeypatch.setattr(CONFIG, "auto_threshold", 1)  # everything -> device
 
     def boom(*a, **k):

@@ -85,9 +85,12 @@ def test_auto_backend_is_workload_aware():
     # small workload -> native host engine (no XLA dispatch at all)
     assert resolve_auto(9711, 2131) == "native"
     assert resolve_auto(100, 10) == "native"
-    # large workload -> accelerator path by platform
+    # large workload -> accelerator path when one exists; otherwise the
+    # native host engine beats CPU conv at every size
     assert resolve_auto(2_000_000, 10_000, platform="tpu") == "pallas"
-    assert resolve_auto(2_000_000, 10_000, platform="cpu") == "conv"
+    from psa_tpu.models.search import native_available
+    want_cpu = "native" if native_available() else "conv"
+    assert resolve_auto(2_000_000, 10_000, platform="cpu") == want_cpu
     # no shape information -> platform default (old behavior)
     assert resolve_auto(platform="tpu") == "pallas"
 

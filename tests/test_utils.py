@@ -90,3 +90,48 @@ def test_config_env_override(monkeypatch):
     assert cfg.EngineConfig().max_candidates == 7
     monkeypatch.delenv("PSA_MAX_CANDIDATES")
     importlib.reload(cfg)
+
+
+def test_health_probe_short_circuits_on_cpu_pin():
+    """With the process pinned to CPU (conftest), effective_platform must
+    answer without spawning a probe subprocess."""
+    import importlib
+
+    from psa_tpu.utils import health
+
+    importlib.reload(health)   # clear the module cache
+
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not run when CPU-pinned")
+
+    health.subprocess = type("S", (), {"run": staticmethod(boom)})()
+    assert health.effective_platform() == "cpu"
+    assert not health.was_degraded()
+    importlib.reload(health)
+
+
+def test_health_probe_timeout_degrades_to_cpu(monkeypatch):
+    """A probe timeout must pin the process to CPU and flag degradation."""
+    import importlib
+    import subprocess as sp
+
+    import jax
+
+    from psa_tpu.utils import health
+
+    importlib.reload(health)
+    monkeypatch.setattr(
+        health, "_configured_platforms", lambda: "fake_accel,cpu")
+
+    def fake_run(*a, **k):
+        raise sp.TimeoutExpired(cmd="probe", timeout=k.get("timeout", 0))
+
+    monkeypatch.setattr(health.subprocess, "run", fake_run)
+    assert health.effective_platform(deadline_s=0.01) == "cpu"
+    assert health.was_degraded()
+    assert jax.config.jax_platforms == "cpu"
+    # cached afterwards: no further probe attempts
+    monkeypatch.setattr(health.subprocess, "run",
+                        lambda *a, **k: (_ for _ in ()).throw(AssertionError))
+    assert health.effective_platform() == "cpu"
+    importlib.reload(health)
