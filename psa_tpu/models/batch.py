@@ -604,11 +604,12 @@ def search_batch(queries, backend: str = "auto",
                 (len(queries[i].seq1) - len(queries[i].seq2) + 1)
                 * len(queries[i].seq2) for i in idxs)
             # bounded platform probe — a dead device tunnel degrades to the
-            # host engine instead of hanging init (utils/health.py)
+            # host engine instead of hanging init (utils/health.py); checked
+            # AFTER the threshold so small buckets never pay the probe
             from psa_tpu.utils.health import effective_platform
 
-            use_device = (effective_platform() == "tpu"
-                          and total_pe >= CONFIG.auto_threshold)
+            use_device = (total_pe >= CONFIG.auto_threshold
+                          and effective_platform() == "tpu")
         else:
             use_device = backend == "pallas"
         if use_device:

@@ -73,6 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "by padded shape and streamed through the batched "
                         "device path; -o names a directory receiving "
                         "out_0000.txt, out_0001.txt, ...")
+    p.add_argument("--serve", action="store_true",
+                   help="streaming serve mode: read one query per stdin line "
+                        "(the 7 input-file tokens: 4 weights, Seq1, Seq2, "
+                        "mode), write one result line per query to stdout in "
+                        "order. Immediately-available lines coalesce into one "
+                        "batched device dispatch (up to --serve-batch); a "
+                        "malformed line yields an `error ...` line and the "
+                        "server keeps going. The input file and -o are "
+                        "ignored.")
+    p.add_argument("--serve-batch", type=int, default=256, metavar="N",
+                   help="max queries coalesced into one dispatch in --serve "
+                        "mode (default 256)")
     p.add_argument("--json", action="store_true",
                    help="print one JSON object per case to stdout (offset, "
                         "char position, substitute, score, mutant, time) "
@@ -94,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.distributed:
         return _main_distributed(args)
+    if args.serve:
+        return _main_serve(args)
     if args.batch:
         return _main_batch(args)
 
@@ -262,6 +276,115 @@ def _main_batch(args) -> int:
             print("total time: %g" % elapsed)
     # same contract as single-case mode: no-mutation cases signal exit 1
     return 1 if n_missing else 0
+
+
+def _read_serve_chunk(stdin, max_lines: int):
+    """One blocking readline, then drain whatever is already buffered.
+
+    Returns (lines, eof).  Interactive callers get single-query latency (no
+    wait for a full batch); piped bulk streams fill chunks to `max_lines`
+    and ride one batched dispatch each.  Streams without a selectable fd
+    (e.g. StringIO in tests) degrade to one line per chunk.
+    """
+    import select as _select
+
+    line = stdin.readline()
+    if line == "":
+        return [], True
+    lines = [line]
+    while len(lines) < max_lines:
+        try:
+            # io.UnsupportedOperation (no fileno) is a ValueError subclass
+            ready, _, _ = _select.select([stdin], [], [], 0)
+        except (OSError, ValueError, TypeError):
+            break
+        if not ready:
+            break
+        line = stdin.readline()
+        if line == "":
+            return lines, True
+        lines.append(line)
+    return lines, False
+
+
+def _main_serve(args) -> int:
+    """Streaming serve loop: stdin query lines -> stdout result lines.
+
+    The serving analog of the reference's one-shot orchestrator
+    (cpu_funcs.c:25-121): same 7-token query grammar (cpu_funcs.c:353-368),
+    same result fields, but long-lived — results stream back in input order
+    and compiled device programs stay warm across chunks (models/batch.py
+    caches jitted runners by bucket shape).
+
+    Result line grammar (stable, machine-parseable by first token):
+      `<offset> <score%g> <mutant>`   mutation found
+      `-1 <inf|-inf> <seq2>`          no legal mutation (defined Q3 behavior)
+      `error <message>`               malformed query line (server keeps going)
+    Blank lines are ignored.  --json swaps result lines for JSON objects.
+    """
+    from psa_tpu.core.alphabet import validate
+    from psa_tpu.models.batch import search_batch
+    from psa_tpu.utils.io import parse_input
+
+    stdin = sys.stdin
+    served = 0
+    t_start = time.perf_counter()
+    while True:
+        lines, eof = _read_serve_chunk(stdin, max(1, args.serve_batch))
+        if lines:
+            outputs: list[str | None] = [None] * len(lines)
+            queries, slots = [], []
+            for j, ln in enumerate(lines):
+                s = ln.strip()
+                if not s:
+                    continue
+                try:
+                    q = parse_input(s)
+                    if not args.lenient and not (validate(q.seq1)
+                                                 and validate(q.seq2)):
+                        raise ValueError("sequences must contain only A-Z "
+                                         "and '-' (start with --lenient to "
+                                         "accept reference-UB inputs)")
+                except ValueError as e:
+                    outputs[j] = (_serve_error_json(str(e)) if args.json
+                                  else f"error {e}")
+                    continue
+                queries.append(q)
+                slots.append(j)
+            t0 = time.perf_counter()
+            results = (search_batch(queries, backend=args.backend,
+                                    strict_alphabet=False)
+                       if queries else [])
+            dt = time.perf_counter() - t0
+            for j, q, res in zip(slots, queries, results):
+                if args.json:
+                    outputs[j] = _result_json(q, res)
+                elif res is None:
+                    bad = float("-inf") if q.is_max else float("inf")
+                    outputs[j] = "-1 %g %s" % (bad, q.seq2)
+                else:
+                    outputs[j] = "%d %g %s" % (res.offset, res.score,
+                                               res.mutant(q.seq2))
+            for o in outputs:
+                if o is not None:
+                    print(o)
+            sys.stdout.flush()
+            served += len(queries)
+            if not args.quiet and queries:
+                print(f"[serve] {len(queries)} queries in {dt*1e3:.1f} ms "
+                      f"({served} total)", file=sys.stderr)
+        if eof:
+            break
+    if not args.quiet:
+        print("total time: %g" % (time.perf_counter() - t_start),
+              file=sys.stderr)
+    return 0
+
+
+def _serve_error_json(msg: str) -> str:
+    import json
+
+    return json.dumps({"error": msg})
 
 
 def _sharded_kernel(backend: str) -> str:

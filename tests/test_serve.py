@@ -1,0 +1,106 @@
+"""Streaming serve mode (`psa --serve`).
+
+The serving analog of the reference's one-shot flow (cpu_funcs.c:25-121):
+query lines stream in on stdin, result lines stream back in order, and a bad
+query yields an error line instead of killing the server.
+"""
+
+import io
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from psa_tpu.models.search import AlignmentSearchEngine
+from psa_tpu.utils.cli import main
+from psa_tpu.utils.generator import random_sequences
+
+
+def _query_line(seed, n1=120, n2=30, weights="1 3 4 2", mode="minimum"):
+    s1, s2 = random_sequences(n1, n2, seed=seed)
+    return f"{weights} {s1} {s2} {mode}"
+
+
+def _expected(line):
+    toks = line.split()
+    eng = AlignmentSearchEngine(np.array([float(t) for t in toks[:4]]),
+                                toks[6] == "maximum", backend="numpy")
+    res = eng.search(toks[4], toks[5])
+    return "%d %g %s" % (res.offset, res.score, res.mutant(toks[5]))
+
+
+def test_serve_streams_results_in_order(monkeypatch, capsys):
+    lines = [_query_line(seed) for seed in range(3)]
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    assert main(["--serve", "--quiet", "--backend", "native"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [_expected(ln) for ln in lines]
+
+
+def test_serve_error_line_keeps_server_alive(monkeypatch, capsys):
+    good = _query_line(7)
+    text = "1 2 3 nonsense AB A minimum\n" + "\n" + good + "\n"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(text))
+    assert main(["--serve", "--quiet", "--backend", "native"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2                    # blank line ignored
+    assert out[0].startswith("error ")
+    assert out[1] == _expected(good)
+
+
+def test_serve_rejects_out_of_alphabet_without_lenient(monkeypatch, capsys):
+    monkeypatch.setattr(sys, "stdin", io.StringIO("1 3 4 2 ABCj AB minimum\n"))
+    assert main(["--serve", "--quiet"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].startswith("error ")
+    # and the same line is served under --lenient
+    monkeypatch.setattr(sys, "stdin", io.StringIO("1 3 4 2 ABCj AB minimum\n"))
+    assert main(["--serve", "--quiet", "--lenient", "--backend",
+                 "numpy"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and not out[0].startswith("error ")
+
+
+def test_serve_json_mode(monkeypatch, capsys):
+    line = _query_line(11)
+    monkeypatch.setattr(sys, "stdin",
+                        io.StringIO(line + "\nbad line\n"))
+    assert main(["--serve", "--quiet", "--json", "--backend", "native"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    ok = json.loads(out[0])
+    want = _expected(line).split(maxsplit=2)
+    assert ok["mutation_found"] is True
+    assert ok["offset"] == int(want[0])
+    assert ok["mutant"] == want[2]
+    assert json.loads(out[1]).keys() == {"error"}
+
+
+def test_serve_mixed_modes_and_weights_one_chunk(monkeypatch, capsys):
+    """Queries with different (weights, mode) land in different buckets but
+    still come back in input order."""
+    lines = [
+        _query_line(0, mode="minimum"),
+        _query_line(1, weights="2 1 1 5", mode="maximum"),
+        _query_line(2, n1=200, n2=50, mode="minimum"),
+    ]
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    assert main(["--serve", "--quiet", "--backend", "numpy"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [_expected(ln) for ln in lines]
+
+
+@pytest.mark.slow
+def test_serve_subprocess_pipe_coalesces():
+    """End-to-end through a real pipe: chunks coalesce (serve-batch 2) and
+    every query is answered in order."""
+    lines = [_query_line(seed) for seed in range(5)]
+    proc = subprocess.run(
+        [sys.executable, "-m", "psa_tpu.utils.cli", "--serve", "--quiet",
+         "--serve-batch", "2", "--platform", "cpu", "--backend", "native"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    out = proc.stdout.strip().splitlines()
+    assert out == [_expected(ln) for ln in lines]
