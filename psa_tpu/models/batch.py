@@ -86,14 +86,23 @@ _PALLAS_RUNNERS: dict = {}
 
 
 def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
-                  interpret: bool):
+                  interpret: bool, qpp: int | None = None):
     """Shared device front half of both batch runners: unpack the single
     packed input upload, run the fused whole-batch Pallas sweep, and return
     (stats5 (B, 5, noff_pad) int32, noffs (B,)) — rows 0-3 class counts,
-    row 4 maxrank, offset axis minor (the TPU-friendly layout)."""
+    row 4 maxrank, offset axis minor (the TPU-friendly layout).
+
+    qpp (queries per grid program) is resolved from config HERE, outside
+    the jitted sweep — resolving it inside would bake the first-seen config
+    value into the jit cache entry for qpp=None and silently ignore later
+    changes."""
     from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
                                           maxrank_from_maxcode, pick_chunk)
 
+    if qpp is None:
+        from psa_tpu.config import CONFIG
+
+        qpp = CONFIG.batch_qpp
     noff_pad = l1k - l2p
     chunk = pick_chunk(l2p)
     nchunks = l2p // chunk
@@ -107,7 +116,7 @@ def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
               .reshape(b, 32, nchunks, chunk)
               .transpose(0, 2, 1, 3)[:, :, :, ::-1])
     out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
-                                interpret)                   # (B, 8, NP)
+                                interpret, qpp=qpp)          # (B, 8, NP)
     maxrank = maxrank_from_maxcode(out[:, 4:5, :])
     return jnp.concatenate([out[:, :4, :], maxrank], axis=1), noffs
 

@@ -436,7 +436,10 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
         resident = _batched_resident(tile_o, l2p)
     extra = _batched_extra_bytes(tile_o, l2p, chunk, resident)
     if qpp is None:
-        qpp = CONFIG.batch_qpp
+        # callers that care (models/batch._fused_stats5) resolve config
+        # OUTSIDE this jitted function — resolving CONFIG.batch_qpp here
+        # would bake the first-seen value into the qpp=None cache entry
+        qpp = 1
     qpp = max(1, min(qpp, b))
     while b % qpp:
         qpp -= 1
