@@ -1,0 +1,130 @@
+"""Serve-loop throughput benchmark.
+
+Drives `psa --serve` as a real subprocess through OS pipes: writes B query
+lines, reads B result lines, reports end-to-end queries/s — the number a
+network front-end layered on the serve protocol would see (parse + batched
+search + format + pipe transport), as opposed to batch_bench.py's
+device-path-only figure.
+
+A sample of replies is verified against the exact host oracle.
+
+Usage: python benchmarks/serve_bench.py [--batch 1000] [--n1 2048]
+         [--n2 512] [--backend auto] [--verify 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1000)
+    ap.add_argument("--n1", type=int, default=2048)
+    ap.add_argument("--n2", type=int, default=512)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--serve-batch", type=int, default=256)
+    ap.add_argument("--verify", type=int, default=8)
+    ap.add_argument("--platform", default=None,
+                    help="forwarded to psa --platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    from psa_tpu.utils.generator import random_sequences
+
+    B, n1, n2 = args.batch, args.n1, args.n2
+    log(f"[serve_bench] generating {B} query lines ({n1}x{n2})")
+    lines = []
+    for s in range(B):
+        s1, s2 = random_sequences(n1, n2, seed=s)
+        lines.append(f"1 3 4 2 {s1} {s2} minimum")
+    payload = "\n".join(lines) + "\n"
+
+    cmd = [sys.executable, "-m", "psa_tpu.utils.cli", "--serve", "--quiet",
+           "--serve-batch", str(args.serve_batch),
+           "--backend", args.backend]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+
+    # ONE persistent server process: a warm wave pays process startup and
+    # compiles, then the timed wave measures steady-state serving.
+    import threading
+
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, bufsize=1)
+    replies: list[str] = []
+    got = threading.Event()
+    want_n = [0]
+
+    def reader():
+        for ln in proc.stdout:
+            replies.append(ln.rstrip("\n"))
+            if len(replies) >= want_n[0]:
+                got.set()
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    def wave(tag, wave_lines, timeout_s=3600.0):
+        want_n[0] = len(replies) + len(wave_lines)
+        got.clear()
+        t0 = time.perf_counter()
+        proc.stdin.write("\n".join(wave_lines) + "\n")
+        proc.stdin.flush()
+        if not got.wait(timeout_s):
+            proc.kill()
+            err = proc.stderr.read()[-2000:]
+            log(f"[serve_bench] {tag} wave timed out; server stderr:\n{err}")
+            sys.exit(1)
+        dt = time.perf_counter() - t0
+        log(f"[serve_bench] {tag}: {len(wave_lines)} queries in {dt:.2f}s "
+            f"({len(wave_lines)/dt:.0f} q/s)")
+        return dt
+
+    wave("warm (startup+compile)", lines[: max(1, B // 4)])
+    dt = wave("timed", lines)
+    nq = len(lines)
+    proc.stdin.close()
+    proc.wait(timeout=60)
+    out = replies[-nq:]
+
+    n_bad = 0
+    if args.verify:
+        from psa_tpu.models.search import AlignmentSearchEngine
+
+        eng = AlignmentSearchEngine(np.array([1.0, 3.0, 4.0, 2.0]), False,
+                                    backend="native")
+        idxs = np.linspace(0, B - 1, min(args.verify, B)).astype(int)
+        for i in idxs:
+            toks = lines[i].split()
+            res = eng.search(toks[4], toks[5])
+            want = "%d %g %s" % (res.offset, res.score, res.mutant(toks[5]))
+            if out[i] != want:
+                n_bad += 1
+                log(f"[serve_bench] MISMATCH query {i}:\n got {out[i][:80]}\n"
+                    f" want {want[:80]}")
+        log(f"[serve_bench] verified {len(idxs)} replies, {n_bad} mismatches")
+
+    print(json.dumps({
+        "metric": "serve_queries_per_sec",
+        "value": nq / dt,
+        "unit": "q/s",
+        "detail": {"batch": B, "n1": n1, "n2": n2,
+                   "serve_batch": args.serve_batch,
+                   "backend": args.backend,
+                   "verified": int(args.verify), "mismatches": n_bad},
+    }))
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
