@@ -57,6 +57,7 @@ def main():
 
     # ONE persistent server process: a warm wave pays process startup and
     # compiles, then the timed wave measures steady-state serving.
+    import collections
     import threading
 
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
@@ -65,25 +66,45 @@ def main():
     replies: list[str] = []
     got = threading.Event()
     want_n = [0]
+    err_tail = collections.deque(maxlen=40)   # keep stderr drained (a full
+                                              # 64KB pipe would deadlock the
+                                              # server mid-write)
 
     def reader():
         for ln in proc.stdout:
             replies.append(ln.rstrip("\n"))
             if len(replies) >= want_n[0]:
                 got.set()
+        got.set()                             # EOF: wake waiters (dead server)
+
+    def err_reader():
+        for ln in proc.stderr:
+            err_tail.append(ln.rstrip("\n"))
 
     threading.Thread(target=reader, daemon=True).start()
+    threading.Thread(target=err_reader, daemon=True).start()
 
     def wave(tag, wave_lines, timeout_s=3600.0):
         want_n[0] = len(replies) + len(wave_lines)
         got.clear()
+        if len(replies) >= want_n[0]:
+            got.set()
         t0 = time.perf_counter()
         proc.stdin.write("\n".join(wave_lines) + "\n")
         proc.stdin.flush()
-        if not got.wait(timeout_s):
+        deadline = t0 + timeout_s
+        while len(replies) < want_n[0]:
+            if not got.wait(min(5.0, max(0.1, deadline - time.perf_counter()))):
+                if proc.poll() is not None or time.perf_counter() > deadline:
+                    break
+            got.clear()
+        if len(replies) < want_n[0]:
+            why = ("server exited rc=%s" % proc.poll()
+                   if proc.poll() is not None else "timed out")
             proc.kill()
-            err = proc.stderr.read()[-2000:]
-            log(f"[serve_bench] {tag} wave timed out; server stderr:\n{err}")
+            log(f"[serve_bench] {tag} wave {why}; server stderr tail:")
+            for ln in list(err_tail)[-20:]:
+                log("  " + ln)
             sys.exit(1)
         dt = time.perf_counter() - t0
         log(f"[serve_bench] {tag}: {len(wave_lines)} queries in {dt:.2f}s "
@@ -101,13 +122,19 @@ def main():
     if args.verify:
         from psa_tpu.models.search import AlignmentSearchEngine
 
+        from psa_tpu.core.result import NoMutationFound
+
         eng = AlignmentSearchEngine(np.array([1.0, 3.0, 4.0, 2.0]), False,
                                     backend="native")
         idxs = np.linspace(0, B - 1, min(args.verify, B)).astype(int)
         for i in idxs:
             toks = lines[i].split()
-            res = eng.search(toks[4], toks[5])
-            want = "%d %g %s" % (res.offset, res.score, res.mutant(toks[5]))
+            try:
+                res = eng.search(toks[4], toks[5])
+                want = "%d %g %s" % (res.offset, res.score,
+                                     res.mutant(toks[5]))
+            except NoMutationFound:
+                want = "-1 %g %s" % (float("inf"), toks[5])
             if out[i] != want:
                 n_bad += 1
                 log(f"[serve_bench] MISMATCH query {i}:\n got {out[i][:80]}\n"

@@ -128,8 +128,11 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
     even with the XLA compile cache warm, so callers must reuse this
     runner.  Same fused sweep as the exact path; only the epilogue differs
     (in-graph f32 argmax instead of checkable top-k)."""
+    from psa_tpu.config import CONFIG
+
+    qpp = CONFIG.batch_qpp        # keyed: no CONFIG read at trace time
     key = ("f32", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-           l2p, interpret)
+           l2p, interpret, qpp)
     cached = _PALLAS_RUNNERS.get(key)
     if cached is not None:
         return cached
@@ -140,7 +143,8 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
 
     @jax.jit
     def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret,
+                                      qpp=qpp)
         keyed, total = keyed_f32_totals(stats5[:, :4, :], stats5[:, 4, :],
                                         tables, noffs, counts_axis=-2)
         best = jnp.argmax(keyed, axis=-1).astype(jnp.int32)
@@ -340,8 +344,14 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     Replaces the lax.scan-of-sweeps runner whose ~350us/query dispatch
     overhead dominated serving-sized workloads.
     """
+    # config resolved HERE and keyed: the jitted closure below must not read
+    # CONFIG at trace time (a later batch_qpp change would silently reuse
+    # the first-seen trace)
+    from psa_tpu.config import CONFIG
+
+    qpp = CONFIG.batch_qpp
     key = ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-           l2p, interpret, k)
+           l2p, interpret, k, qpp)
     cached = _EXACT_RUNNERS.get(key)
     if cached is not None:
         return cached
@@ -352,7 +362,8 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     @jax.jit
     def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret,
+                                      qpp=qpp)
         return pack_epilogue_outputs(
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
@@ -583,8 +594,6 @@ def search_batch(queries, backend: str = "auto",
     the accelerator path pays off, else as a host-engine loop.  Results come
     back in input order; None marks a query with no legal mutation.
     """
-    import jax
-
     from psa_tpu.core.alphabet import encode, pad_codes, validate
     from psa_tpu.core.result import NoMutationFound
     from psa_tpu.core.tables import build_tables

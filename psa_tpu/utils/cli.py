@@ -278,33 +278,84 @@ def _main_batch(args) -> int:
     return 1 if n_missing else 0
 
 
-def _read_serve_chunk(stdin, max_lines: int):
-    """One blocking readline, then drain whatever is already buffered.
+class _ServeLineReader:
+    """Blocking-first, drain-the-rest line reader over a raw fd.
 
-    Returns (lines, eof).  Interactive callers get single-query latency (no
-    wait for a full batch); piped bulk streams fill chunks to `max_lines`
-    and ride one batched dispatch each.  Streams without a selectable fd
-    (e.g. StringIO in tests) degrade to one line per chunk.
+    `next_chunk(max_lines)` blocks until at least one COMPLETE line exists,
+    then coalesces every further complete line already available on the fd
+    (zero-timeout select + os.read) up to max_lines.  Reading at the fd
+    level fixes two protocol hazards of a naive readline/select loop:
+    a partial line on the fd can never block the dispatch of complete
+    lines already collected (os.read after select-ready cannot block), and
+    lines sitting in a stdio readahead buffer are never invisible to the
+    coalescing check.  Streams without a usable fileno (e.g. StringIO in
+    tests) fall back to one blocking readline per chunk.
     """
-    import select as _select
 
-    line = stdin.readline()
-    if line == "":
-        return [], True
-    lines = [line]
-    while len(lines) < max_lines:
+    def __init__(self, stream):
+        self._stream = stream
+        self._pending = bytearray()
+        self._eof = False
         try:
-            # io.UnsupportedOperation (no fileno) is a ValueError subclass
-            ready, _, _ = _select.select([stdin], [], [], 0)
-        except (OSError, ValueError, TypeError):
-            break
-        if not ready:
-            break
-        line = stdin.readline()
-        if line == "":
-            return lines, True
-        lines.append(line)
-    return lines, False
+            self._fd = stream.fileno()
+        except Exception:  # noqa: BLE001 - io.UnsupportedOperation etc.
+            self._fd = None
+
+    def _take_lines(self, out: list, max_lines: int) -> None:
+        while len(out) < max_lines:
+            nl = self._pending.find(b"\n")
+            if nl < 0:
+                break
+            out.append(self._pending[: nl + 1].decode("utf-8", "replace"))
+            del self._pending[: nl + 1]
+
+    def next_chunk(self, max_lines: int):
+        """Returns (lines, eof)."""
+        import os
+        import select as _select
+
+        if self._fd is None:
+            if self._eof:
+                return [], True
+            line = self._stream.readline()
+            if line == "":
+                self._eof = True
+            return ([line] if line else []), self._eof
+
+        lines: list = []
+        # blocking phase: at least one complete line (or EOF)
+        while not lines:
+            self._take_lines(lines, max_lines)
+            if lines:
+                break
+            if self._eof:
+                break
+            data = os.read(self._fd, 1 << 16)
+            if not data:
+                self._eof = True
+            else:
+                self._pending += data
+        # drain phase: whatever is already on the fd, without blocking
+        while not self._eof and len(lines) < max_lines:
+            if b"\n" in self._pending:
+                self._take_lines(lines, max_lines)
+                continue
+            ready, _, _ = _select.select([self._fd], [], [], 0)
+            if not ready:
+                break
+            data = os.read(self._fd, 1 << 16)
+            if not data:
+                self._eof = True
+            else:
+                self._pending += data
+        self._take_lines(lines, max_lines)
+        # a final unterminated line is emitted once all complete lines
+        # before it have been taken and the chunk has room
+        if (self._eof and self._pending and b"\n" not in self._pending
+                and len(lines) < max_lines):
+            lines.append(self._pending.decode("utf-8", "replace"))
+            self._pending.clear()
+        return lines, self._eof and not self._pending
 
 
 def _main_serve(args) -> int:
@@ -326,11 +377,11 @@ def _main_serve(args) -> int:
     from psa_tpu.models.batch import search_batch
     from psa_tpu.utils.io import parse_input
 
-    stdin = sys.stdin
+    reader = _ServeLineReader(sys.stdin)
     served = 0
     t_start = time.perf_counter()
     while True:
-        lines, eof = _read_serve_chunk(stdin, max(1, args.serve_batch))
+        lines, eof = reader.next_chunk(max(1, args.serve_batch))
         if lines:
             outputs: list[str | None] = [None] * len(lines)
             queries, slots = [], []

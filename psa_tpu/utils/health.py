@@ -29,6 +29,21 @@ def was_degraded() -> bool:
     return _degraded
 
 
+def _initialized_backend() -> str | None:
+    """The in-process default backend IF device init already completed,
+    else None — checked without triggering an init."""
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if getattr(_xb, "_backends", None):
+            import jax
+
+            return jax.default_backend()
+    except Exception:  # noqa: BLE001 - private API moved/renamed
+        return None
+    return None
+
+
 def _configured_platforms() -> str | None:
     import jax
 
@@ -54,6 +69,14 @@ def effective_platform(deadline_s: float | None = None) -> str:
     plats = _configured_platforms()
     if plats and {p.strip() for p in plats.split(",") if p.strip()} <= {"cpu"}:
         _cached = "cpu"
+        return _cached
+    # already-initialized in-process backend: init has provably completed,
+    # so answer directly instead of paying a duplicate device init in a
+    # probe subprocess (the probe exists for the UNinitialized case, where
+    # an in-process init attempt could hang unboundedly)
+    inproc = _initialized_backend()
+    if inproc is not None:
+        _cached = inproc
         return _cached
     if deadline_s is None:
         from psa_tpu.config import CONFIG

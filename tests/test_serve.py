@@ -92,6 +92,37 @@ def test_serve_mixed_modes_and_weights_one_chunk(monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_serve_partial_line_does_not_block_complete_queries():
+    """A complete query followed by a PARTIAL second line on the pipe must
+    be answered immediately — the drain may not block on the unterminated
+    line (review finding: fd-level reader vs blocking readline)."""
+    import queue
+    import threading
+
+    q1, q2 = _query_line(0), _query_line(1)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "psa_tpu.utils.cli", "--serve", "--quiet",
+         "--platform", "cpu", "--backend", "native"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1)
+    replies: queue.Queue = queue.Queue()
+    threading.Thread(target=lambda: [replies.put(ln.rstrip("\n"))
+                                     for ln in proc.stdout],
+                     daemon=True).start()
+    try:
+        proc.stdin.write(q1 + "\n" + q2[:10])   # q2 unterminated
+        proc.stdin.flush()
+        assert replies.get(timeout=120) == _expected(q1)
+        proc.stdin.write(q2[10:] + "\n")
+        proc.stdin.flush()
+        assert replies.get(timeout=120) == _expected(q2)
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    assert proc.returncode == 0
+
+
+@pytest.mark.slow
 def test_serve_subprocess_pipe_coalesces():
     """End-to-end through a real pipe: chunks coalesce (serve-batch 2) and
     every query is answered in order."""

@@ -110,6 +110,27 @@ def test_health_probe_short_circuits_on_cpu_pin():
     importlib.reload(health)
 
 
+def test_health_probe_skips_subprocess_when_backend_initialized(monkeypatch):
+    """If in-process device init already completed, the probe must answer
+    from it instead of paying a duplicate init in a subprocess."""
+    import importlib
+
+    from psa_tpu.utils import health
+
+    importlib.reload(health)
+    monkeypatch.setattr(
+        health, "_configured_platforms", lambda: "fake_accel,cpu")
+    monkeypatch.setattr(health, "_initialized_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise AssertionError("no probe subprocess for an initialized backend")
+
+    monkeypatch.setattr(health.subprocess, "run", boom)
+    assert health.effective_platform() == "tpu"
+    assert not health.was_degraded()
+    importlib.reload(health)
+
+
 def test_health_probe_timeout_degrades_to_cpu(monkeypatch):
     """A probe timeout must pin the process to CPU and flag degradation."""
     import importlib
@@ -122,6 +143,9 @@ def test_health_probe_timeout_degrades_to_cpu(monkeypatch):
     importlib.reload(health)
     monkeypatch.setattr(
         health, "_configured_platforms", lambda: "fake_accel,cpu")
+    # simulate the UNinitialized-process case even when the test session
+    # already initialized the CPU backend
+    monkeypatch.setattr(health, "_initialized_backend", lambda: None)
 
     def fake_run(*a, **k):
         raise sp.TimeoutExpired(cmd="probe", timeout=k.get("timeout", 0))
