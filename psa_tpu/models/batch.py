@@ -92,10 +92,20 @@ def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
     (stats5 (B, 5, noff_pad) int32, noffs (B,)) — rows 0-3 class counts,
     row 4 maxrank, offset axis minor (the TPU-friendly layout).
 
-    qpp (queries per grid program) is resolved from config HERE, outside
-    the jitted sweep — resolving it inside would bake the first-seen config
-    value into the jit cache entry for qpp=None and silently ignore later
-    changes."""
+    Callers inside cached jitted closures must pass qpp explicitly (the
+    factories resolve CONFIG.batch_qpp and key it into their caches);
+    resolving config at trace time would bake the first-seen value."""
+    c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+    return _fused_stats5_from_codes(c1b, c2b, tables, b, l1k, l2p,
+                                    interpret, qpp), noffs
+
+
+def _fused_stats5_from_codes(c1b, c2b, tables: ScoringTables, b: int,
+                             l1k: int, l2p: int, interpret: bool,
+                             qpp: int | None = None):
+    """Fused whole-batch sweep from (b, l1k)/(b, l2p) code arrays ->
+    stats5 (b, 5, noff_pad) int32.  Also the per-shard body of the
+    mesh-sharded exact batch path (each shard sweeps its local queries)."""
     from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
                                           maxrank_from_maxcode, pick_chunk)
 
@@ -108,7 +118,6 @@ def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
     nchunks = l2p // chunk
     code_tab = jnp.asarray(tables.code)
 
-    c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
     s1c_all = jnp.broadcast_to(
         c1b.reshape(1, -1).astype(jnp.int8), (4, b * l1k))   # (4, B*l1q)
     pc = code_tab.astype(jnp.int8)[:, c2b.astype(jnp.int32)]
@@ -118,7 +127,7 @@ def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
     out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
                                 interpret, qpp=qpp)          # (B, 8, NP)
     maxrank = maxrank_from_maxcode(out[:, 4:5, :])
-    return jnp.concatenate([out[:, :4, :], maxrank], axis=1), noffs
+    return jnp.concatenate([out[:, :4, :], maxrank], axis=1)
 
 
 def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
@@ -371,6 +380,97 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     return run
 
 
+def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
+                                      l1k: int, l2p: int, mesh: Mesh,
+                                      interpret: bool, k: int = TOPK):
+    """Mesh-data-parallel exact batch runner.
+
+    The GLOBAL batch of b queries shards over the mesh's first axis; each
+    device runs the fused whole-batch kernel + checkable-exact top-k
+    epilogue on its b/ndev local queries — the serving analog of the
+    reference's contiguous MPI offset blocks (cpu_funcs.c:128-133) with
+    queries as the sharded axis.  Queries are independent, so there are NO
+    collectives: the packed per-query outputs come back batch-sharded and
+    the exact host selection is unchanged.
+    """
+    from psa_tpu.config import CONFIG
+
+    qpp = CONFIG.batch_qpp        # keyed: no CONFIG read at trace time
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    key = ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
+           b, l1k, l2p, mesh_key, interpret, k, qpp)
+    cached = _EXACT_RUNNERS.get(key)
+    if cached is not None:
+        return cached
+
+    assert b % ndev == 0, (b, ndev)
+    bl = b // ndev
+    assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
+
+    def local(c1b, c2b, noffs):
+        stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
+                                          interpret, qpp)
+        return pack_epilogue_outputs(
+            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(axis), P(axis), P(axis)),
+                           out_specs=P(axis),
+                           check_vma=False))   # pallas_call can't carry vma
+    _EXACT_RUNNERS[key] = fn
+    return fn
+
+
+def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
+                                 tables: ScoringTables, mesh: Mesh,
+                                 interpret: bool | None = None,
+                                 k: int = TOPK):
+    """Bit-exact batched search with the batch axis sharded over a mesh.
+
+    Same contract as `batched_search_exact` (list of SearchResult | None,
+    reference-sequential winner semantics), but each mesh device sweeps an
+    equal contiguous block of queries.  The batch pads up to a multiple of
+    the device count with all-PAD dummy rows (reported as no-mutation and
+    sliced off), with the per-shard count rounded to a power of two so one
+    compiled program serves any workload size.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c1b = np.asarray(c1b)
+    c2b = np.asarray(c2b)
+    noffs = np.asarray(noffs)
+    n2s = np.asarray(n2s)
+    b_n, l1k = c1b.shape
+    l2p = c2b.shape[1]
+    ndev = mesh.devices.size
+
+    from psa_tpu.config import CONFIG
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    per = _round_batch(-(-b_n // ndev), CONFIG.micro_batch)
+    bpad = per * ndev
+    p1, p2, pn = c1b, c2b, noffs
+    if bpad != b_n:
+        p1 = np.concatenate(
+            [p1, np.full((bpad - b_n, l1k), PAD_CODE, p1.dtype)])
+        p2 = np.concatenate(
+            [p2, np.full((bpad - b_n, l2p), PAD_CODE, p2.dtype)])
+        pn = np.concatenate([pn, np.ones(bpad - b_n, pn.dtype)])
+
+    run = make_batched_fused_sharded_runner(tables, bpad, l1k, l2p, mesh,
+                                            bool(interpret), k)
+    with mesh:
+        out = run(jnp.asarray(p1), jnp.asarray(p2),
+                  jnp.asarray(pn.astype(np.int32)))
+    buf = np.asarray(out)[:b_n]
+    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+    stats_k = np.swapaxes(stats_k, 1, 2)       # (n, 5, k) -> (n, k, 5)
+    return _host_select(c1b, c2b, noffs, n2s, tables, topi, stats_k, near,
+                        best, k)
+
+
 def microbatch_spans(b_n: int, mb: int) -> list:
     """Contiguous [start, end) spans covering [0, b_n) in steps of mb —
     the batched_search_exact pipeline's work partition."""
@@ -585,7 +685,7 @@ def _select_rows_vectorized(results: list, rows: np.ndarray, c1b, c2b,
 
 
 def search_batch(queries, backend: str = "auto",
-                 strict_alphabet: bool = True):
+                 strict_alphabet: bool = True, mesh: Mesh | None = None):
     """Mixed-size multi-query search with bucketed padding.
 
     Queries (utils.io.Query) are grouped by (weights, mode, noff_pad, l2p)
@@ -593,6 +693,10 @@ def search_batch(queries, backend: str = "auto",
     batched device scan (bit-exact selection via batched_search_exact) when
     the accelerator path pays off, else as a host-engine loop.  Results come
     back in input order; None marks a query with no legal mutation.
+
+    mesh: optional 1-D device mesh — device buckets then shard their batch
+    axis across it (batched_search_exact_sharded) instead of running
+    single-device.
     """
     from psa_tpu.core.alphabet import encode, pad_codes, validate
     from psa_tpu.core.result import NoMutationFound
@@ -640,7 +744,11 @@ def search_batch(queries, backend: str = "auto",
                               for i in idxs], np.int32)
             n2s = np.array([len(queries[i].seq2) for i in idxs], np.int32)
             try:
-                rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+                if mesh is not None:
+                    rs = batched_search_exact_sharded(c1b, c2b, noffs, n2s,
+                                                      tables, mesh)
+                else:
+                    rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
             except Exception as e:  # noqa: BLE001 - degrade, don't die
                 # serving robustness: a device/compile/tunnel failure on one
                 # bucket degrades to the (slower, bit-identical) host engine

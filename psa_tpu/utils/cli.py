@@ -245,7 +245,8 @@ def _main_batch(args) -> int:
     t0 = time.perf_counter()
     try:
         results = search_batch(cases, backend=args.backend,
-                               strict_alphabet=not args.lenient)
+                               strict_alphabet=not args.lenient,
+                               mesh=_batch_mesh(args))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -378,6 +379,7 @@ def _main_serve(args) -> int:
     from psa_tpu.utils.io import parse_input
 
     reader = _ServeLineReader(sys.stdin)
+    mesh = _batch_mesh(args)
     served = 0
     t_start = time.perf_counter()
     while True:
@@ -404,7 +406,7 @@ def _main_serve(args) -> int:
                 slots.append(j)
             t0 = time.perf_counter()
             results = (search_batch(queries, backend=args.backend,
-                                    strict_alphabet=False)
+                                    strict_alphabet=False, mesh=mesh)
                        if queries else [])
             dt = time.perf_counter() - t0
             for j, q, res in zip(slots, queries, results):
@@ -436,6 +438,19 @@ def _serve_error_json(msg: str) -> str:
     import json
 
     return json.dumps({"error": msg})
+
+
+def _batch_mesh(args):
+    """--sharded in batch/serve mode: a 1-D 'dp' mesh over all local
+    devices — device buckets shard their batch axis across it
+    (models/batch.batched_search_exact_sharded)."""
+    if not getattr(args, "sharded", False):
+        return None
+    import jax
+
+    from psa_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(jax.devices(), axis="dp")
 
 
 def _sharded_kernel(backend: str) -> str:

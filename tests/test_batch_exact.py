@@ -47,6 +47,41 @@ def test_batched_exact_matches_single_query(is_max, fused):
             ref.offset, ref.char_offset, ref.sub_code, ref.score), q
 
 
+@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+def test_batched_exact_sharded_mesh_size_independent(ndev, tables_min):
+    """Mesh-data-parallel exact batch: identical winners at every mesh
+    size, including a batch that does not divide the device count (dummy
+    PAD rows) and a no-mutation query."""
+    import jax
+
+    from psa_tpu.models.batch import batched_search_exact_sharded
+    from psa_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(23)
+    n1, n2, l2p = 700, 120, 128
+    l1k = 1024 + l2p
+    B = 5                                  # not a multiple of 2/4/8
+    c1b, c2b, noffs, n2s = _batch(rng, B, n1, n2, l1k, l2p)
+    # query 2: out-of-range chars everywhere -> every pair weighs 0 with
+    # no legal substitution (the defined no-mutation path, SURVEY Q3)
+    c1b[2, :n1] = 27
+    c2b[2, :n2] = 27
+    mesh = make_mesh(jax.devices()[:ndev], axis="dp")
+    got = batched_search_exact_sharded(c1b, c2b, noffs, n2s, tables_min,
+                                       mesh, interpret=True)
+    want = batched_search_exact(c1b, c2b, noffs, n2s, tables_min,
+                                interpret=True)
+    assert len(got) == B
+    for q in range(B):
+        if want[q] is None:
+            assert got[q] is None, q
+            continue
+        assert (got[q].offset, got[q].char_offset, got[q].sub_code,
+                got[q].score) == (want[q].offset, want[q].char_offset,
+                                  want[q].sub_code, want[q].score), q
+    assert got[2] is None
+
+
 def test_batched_exact_massive_tie_fallback():
     """Periodic seq1 floods the f32 near-tie band past k -> host fallback;
     the winner must still be the reference's exactly."""
@@ -215,6 +250,33 @@ def test_cli_batch_mode(tmp_path):
 
     # each file must byte-match the corresponding --case single run
     for i in range(4):
+        single = tmp_path / f"single_{i}.txt"
+        assert main([str(inp), "-o", str(single), "--case", str(i),
+                     "--backend", "numpy", "--quiet"]) == 0
+        assert (outdir / f"out_{i:04d}.txt").read_text() == single.read_text()
+
+
+def test_cli_batch_sharded_device_path(tmp_path):
+    """--batch --sharded --backend pallas routes buckets through the
+    mesh-sharded exact device path (interpret on CPU) and still
+    byte-matches per-case single runs."""
+    from psa_tpu.utils.cli import main
+    from psa_tpu.utils.generator import random_sequences
+
+    recs = []
+    for seed, (n1, n2, mode) in enumerate(
+            [(400, 60, "minimum"), (400, 60, "maximum"),
+             (400, 60, "minimum")]):
+        s1, s2 = random_sequences(n1, n2, seed=40 + seed)
+        recs.append(f"1 3 4 2\n{s1}\n{s2}\n{mode}")
+    inp = tmp_path / "cases.txt"
+    inp.write_text("\n".join(recs))
+
+    outdir = tmp_path / "outs"
+    rc = main([str(inp), "-o", str(outdir), "--batch", "--sharded",
+               "--backend", "pallas", "--quiet"])
+    assert rc == 0
+    for i in range(3):
         single = tmp_path / f"single_{i}.txt"
         assert main([str(inp), "-o", str(single), "--case", str(i),
                      "--backend", "numpy", "--quiet"]) == 0
