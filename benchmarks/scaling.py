@@ -10,8 +10,13 @@ fori_loop with per-iteration input perturbation, result materialized
 (per-dispatch timing through the remote-TPU tunnel is unreliable, and a
 fresh shard_map trace per call would otherwise dominate small workloads).
 
+`--mode serve` ladders the mesh-sharded exact batch SERVING path instead
+(models/batch.batched_search_exact_sharded's device program): fixed global
+batch, query axis sharded over 1..N devices, reported as queries/s.
+
 Usage: python benchmarks/scaling.py [--n1 100000] [--n2 10000]
-       [--devices 1,2,4,8] [--platform cpu|tpu]
+       [--devices 1,2,4,8] [--platform cpu|tpu] [--mode sweep|serve]
+       [--batch 64] [--bn1 512] [--bn2 128]
 """
 
 from __future__ import annotations
@@ -40,6 +45,12 @@ def main():
                     help="cpu = force an 8-device virtual host mesh; "
                          "tpu/default = whatever JAX resolves")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--mode", default="sweep", choices=["sweep", "serve"])
+    ap.add_argument("--batch", type=int, default=64,
+                    help="serve mode: global batch (must divide every mesh "
+                         "size)")
+    ap.add_argument("--bn1", type=int, default=512)
+    ap.add_argument("--bn2", type=int, default=128)
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -75,6 +86,9 @@ def main():
         if d > ndev:
             log(f"[scaling] error: mesh size {d} > available devices {ndev}")
             return 2
+    if args.mode == "serve":
+        return serve_ladder(args, sizes)
+
     n1, n2 = args.n1, args.n2
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
     seq1, seq2 = random_sequences(n1, n2, seed=0)
@@ -121,6 +135,78 @@ def main():
         "platform": platform,
         "virtual_mesh": platform == "cpu",
         "workload": {"n1": n1, "n2": n2},
+        "results": results,
+    }))
+    return 0
+
+
+def serve_ladder(args, sizes) -> int:
+    """Queries/s of the mesh-sharded exact-batch device program vs mesh
+    size (fixed global batch = strong scaling)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from psa_tpu.core.alphabet import encode, pad_codes
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import make_batched_fused_sharded_runner
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+    from psa_tpu.parallel.mesh import make_mesh
+    from psa_tpu.utils.generator import random_sequences
+
+    B, n1, n2 = args.batch, args.bn1, args.bn2
+    for d in sizes:
+        if B % d:
+            log(f"[scaling] error: --batch {B} not divisible by mesh {d}")
+            return 2
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+    seqs = [random_sequences(n1, n2, seed=s) for s in range(B)]
+    c1b = jnp.asarray(np.stack([pad_codes(encode(a), l1k) for a, _ in seqs]))
+    c2b = jnp.asarray(np.stack([pad_codes(encode(b), l2p) for _, b in seqs]))
+    noffs = jnp.asarray(np.full(B, n1 - n2 + 1, np.int32))
+    log(f"[scaling] serve mode: platform={platform} B={B} {n1}x{n2} "
+        f"(l1k={l1k}, l2p={l2p})")
+
+    results = []
+    base_rate = None
+    for d in sizes:
+        mesh = make_mesh(jax.devices()[:d], axis="dp")
+        run = make_batched_fused_sharded_runner(tables, B, l1k, l2p, mesh,
+                                                interpret)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chained(p1, p2, pn, k, run=run):
+            def body(i, acc):
+                p1x = jnp.roll(p1, i, axis=1)  # defeat dispatch dedup
+                out = run(p1x, p2, pn)
+                return acc + out[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        t0 = time.perf_counter()
+        np.asarray(chained(c1b, c2b, noffs, args.iters))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained(c1b, c2b, noffs, args.iters))
+        dt = (time.perf_counter() - t0) / args.iters
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * d / sizes[0])
+        results.append({"devices": d, "seconds": dt,
+                        "queries_per_sec": rate,
+                        "scaling_efficiency": eff})
+        log(f"[scaling] {d} dev: {dt*1e3:8.1f} ms/batch  {rate:.0f} q/s  "
+            f"eff={eff:.2f} (first call {t_first:.1f}s)")
+
+    print(json.dumps({
+        "metric": "serve_sharding_scaling",
+        "platform": platform,
+        "virtual_mesh": platform == "cpu",
+        "workload": {"batch": B, "n1": n1, "n2": n2},
         "results": results,
     }))
     return 0
