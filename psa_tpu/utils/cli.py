@@ -418,10 +418,27 @@ def _main_serve(args) -> int:
                 else:
                     outputs[j] = "%d %g %s" % (res.offset, res.score,
                                                res.mutant(q.seq2))
-            for o in outputs:
-                if o is not None:
-                    print(o)
-            sys.stdout.flush()
+            try:
+                for o in outputs:
+                    if o is not None:
+                        print(o)
+                sys.stdout.flush()
+            except BrokenPipeError:
+                # client went away: a server exits quietly (128+SIGPIPE),
+                # it doesn't traceback
+                if not args.quiet:
+                    print("[serve] client closed the reply pipe; exiting",
+                          file=sys.stderr)
+                try:
+                    # park stdout on /dev/null so interpreter shutdown's
+                    # buffer flush can't raise a second EPIPE
+                    import os
+
+                    os.dup2(os.open(os.devnull, os.O_WRONLY),
+                            sys.stdout.fileno())
+                except Exception:  # noqa: BLE001 - non-fd stdout (tests)
+                    pass
+                return 141
             served += len(queries)
             if not args.quiet and queries:
                 print(f"[serve] {len(queries)} queries in {dt*1e3:.1f} ms "

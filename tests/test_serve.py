@@ -91,6 +91,24 @@ def test_serve_mixed_modes_and_weights_one_chunk(monkeypatch, capsys):
     assert out == [_expected(ln) for ln in lines]
 
 
+def test_serve_client_gone_exits_quietly(monkeypatch, capsys):
+    """A BrokenPipeError on the reply stream ends the server with
+    128+SIGPIPE, not a traceback."""
+    import builtins
+
+    lines = [_query_line(3)]
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    real_print = builtins.print
+
+    def broken(*a, **k):
+        if k.get("file") is None:
+            raise BrokenPipeError()
+        real_print(*a, **k)
+
+    monkeypatch.setattr(builtins, "print", broken)
+    assert main(["--serve", "--quiet", "--backend", "native"]) == 141
+
+
 @pytest.mark.slow
 def test_serve_partial_line_does_not_block_complete_queries():
     """A complete query followed by a PARTIAL second line on the pipe must
