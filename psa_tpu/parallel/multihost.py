@@ -89,6 +89,155 @@ def broadcast_query(query=None):
     return w, c1, c2, bool(is_max)
 
 
+def _partition(n: int, nproc: int, pid: int) -> tuple[int, int]:
+    """Contiguous equal blocks, remainder to the last rank — the same split
+    rule as the reference's offset partition (cpu_funcs.c:128-133), applied
+    to the case axis."""
+    per = n // nproc
+    lo = per * pid
+    hi = n if pid == nproc - 1 else lo + per
+    return lo, hi
+
+
+def broadcast_cases(cases=None):
+    """Broadcast a whole case list from process 0 (the batch analog of
+    `broadcast_query`): one header array + weights + two concatenated code
+    arrays — 4 DCN broadcasts regardless of case count."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from psa_tpu.core.alphabet import decode, encode
+    from psa_tpu.utils.io import Query
+
+    if jax.process_count() == 1:
+        return cases
+
+    if is_primary():
+        assert cases is not None
+        heads = np.array([[len(q.seq1), len(q.seq2), int(q.is_max)]
+                          for q in cases], np.int32).reshape(-1, 3)
+        w = np.array([np.asarray(q.weights, np.float64) for q in cases],
+                     np.float64).reshape(-1, 4)
+        c1cat = np.concatenate([encode(q.seq1) for q in cases])
+        c2cat = np.concatenate([encode(q.seq2) for q in cases])
+        meta = np.array([len(cases), c1cat.shape[0], c2cat.shape[0]],
+                        np.int32)
+    else:
+        meta = np.zeros(3, np.int32)
+    meta = multihost_utils.broadcast_one_to_all(meta)
+    n, t1, t2 = (int(x) for x in meta)
+    if not is_primary():
+        heads = np.zeros((n, 3), np.int32)
+        w = np.zeros((n, 4), np.float64)
+        c1cat = np.zeros(t1, np.int32)
+        c2cat = np.zeros(t2, np.int32)
+    heads = multihost_utils.broadcast_one_to_all(heads)
+    w = multihost_utils.broadcast_one_to_all(w)
+    c1cat = multihost_utils.broadcast_one_to_all(c1cat.astype(np.int32))
+    c2cat = multihost_utils.broadcast_one_to_all(c2cat.astype(np.int32))
+
+    out, o1, o2 = [], 0, 0
+    for i in range(n):
+        n1, n2, is_max = (int(x) for x in heads[i])
+        out.append(Query(weights=w[i],
+                         seq1=decode(c1cat[o1: o1 + n1]),
+                         seq2=decode(c2cat[o2: o2 + n2]),
+                         is_max=bool(is_max)))
+        o1 += n1
+        o2 += n2
+    return out
+
+
+def run_distributed_batch(input_path: str, outdir: str,
+                          backend: str = "auto",
+                          lenient: bool = False) -> int:
+    """Multi-process batch flow: proc-0 read -> case broadcast -> contiguous
+    case blocks per process (each searched with the local batched engine) ->
+    allgather of packed winner rows -> proc-0 writes out_%04d.txt files.
+
+    The batch-scale analog of `run_distributed_search`; outputs byte-match
+    single-process `--batch` mode.  Returns 0, or 1 when any case has no
+    mutation (same contract as the CLI batch mode)."""
+    import os
+
+    import jax
+
+    from psa_tpu.core.alphabet import validate
+    from psa_tpu.models.batch import search_batch
+    from psa_tpu.utils.io import format_output, read_cases
+
+    cases = None
+    status = 0
+    if is_primary():
+        try:
+            cases = read_cases(input_path)
+            if not lenient and not all(
+                    validate(q.seq1) and validate(q.seq2) for q in cases):
+                status = 3
+        except FileNotFoundError:
+            status = 1
+        except ValueError:
+            status = 2
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        status = int(multihost_utils.broadcast_one_to_all(
+            np.array([status], np.int32))[0])
+    if status == 1:
+        raise FileNotFoundError(input_path)
+    if status == 2:
+        raise ValueError(f"bad input file `{input_path}`")
+    if status == 3:
+        raise ValueError("sequences must contain only A-Z and '-' "
+                         "(pass --lenient to accept reference-UB inputs)")
+
+    cases = broadcast_cases(cases)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    lo, hi = _partition(len(cases), nproc, pid)
+    block = search_batch(cases[lo:hi], backend=backend,
+                         strict_alphabet=False)
+
+    # packed winner rows: [found, offset, char_offset, sub_code, score]
+    rows = np.zeros((len(cases), 5), np.float64)
+    for j, res in enumerate(block):
+        if res is not None:
+            rows[lo + j] = [1.0, res.offset, res.char_offset, res.sub_code,
+                            res.score]
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(multihost_utils.process_allgather(rows))
+        for r in range(nproc):
+            rlo, rhi = _partition(len(cases), nproc, r)
+            rows[rlo:rhi] = gathered[r, rlo:rhi]
+
+    if not is_primary():
+        return 1 if (rows[:, 0] == 0).any() else 0
+
+    os.makedirs(outdir, exist_ok=True)
+    n_missing = 0
+    for i, q in enumerate(cases):
+        path = os.path.join(outdir, f"out_{i:04d}.txt")
+        found, off, coff, sub, score = rows[i]
+        with open(path, "w") as f:
+            if not found:
+                n_missing += 1
+                bad = float("-inf") if q.is_max else float("inf")
+                f.write(format_output(q.seq2, -1, bad))
+            else:
+                from psa_tpu.core.alphabet import decode_char
+
+                mut = (q.seq2[: int(coff)] + decode_char(int(sub))
+                       + q.seq2[int(coff) + 1:])
+                f.write(format_output(mut, int(off), score))
+    import sys
+
+    print(f"{len(cases)} cases -> {outdir}/ "
+          f"({n_missing} without mutation)", file=sys.stderr, flush=True)
+    return 1 if n_missing else 0
+
+
 def run_distributed_search(input_path: str, output_path: str,
                            backend_kernel: str = "auto",
                            lenient: bool = False) -> int:

@@ -496,6 +496,26 @@ def _main_distributed(args) -> int:
               "or launch via psa-dist", file=sys.stderr)
         return 2
 
+    if args.batch:
+        outdir = args.output
+        if outdir.endswith(".txt"):
+            outdir = outdir[: -len(".txt")]
+        t0 = time.perf_counter()
+        try:
+            code = multihost.run_distributed_batch(args.input, outdir,
+                                                   backend=args.backend,
+                                                   lenient=args.lenient)
+        except FileNotFoundError:
+            print(f"error: cannot open input file `{args.input}`",
+                  file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if multihost.is_primary() and not args.quiet:
+            print("total time: %g" % (time.perf_counter() - t0))
+        return code
+
     kernel = _sharded_kernel(args.backend)
     t0 = time.perf_counter()
     try:

@@ -111,6 +111,44 @@ def test_psa_dist_launcher(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_batch_mode(tmp_path):
+    """--distributed --batch: case list broadcasts from rank 0 (rank 1 has
+    no input file), contiguous case blocks per rank, gathered outputs
+    byte-match single-process --batch mode."""
+    from psa_tpu.utils.cli import main
+    from psa_tpu.utils.generator import random_sequences
+
+    recs = []
+    for seed, (n1, n2, mode) in enumerate(
+            [(400, 60, "minimum"), (400, 60, "maximum"),
+             (700, 120, "minimum"), (300, 50, "minimum"),
+             (300, 50, "maximum")]):
+        s1, s2 = random_sequences(n1, n2, seed=60 + seed)
+        recs.append(f"1 3 4 2\n{s1}\n{s2}\n{mode}")
+    inp = tmp_path / "cases.txt"
+    inp.write_text("\n".join(recs))
+
+    # single-process reference outputs
+    refdir = tmp_path / "ref"
+    assert main([str(inp), "-o", str(refdir), "--batch",
+                 "--backend", "numpy", "--quiet"]) == 0
+
+    port = _free_port()
+    outdir = tmp_path / "outs"
+    base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
+            "--batch", "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--platform", "cpu",
+            "--backend", "native", "-o", str(outdir)]
+    cmds = [base + ["--process-id", "0", str(inp)],
+            base + ["--process-id", "1", "/nonexistent/never-read.txt"]]
+    rcs, outs = _spawn(cmds)
+    assert rcs == [0, 0], f"batch failure:\n{outs[0]}\n---\n{outs[1]}"
+    for i in range(5):
+        name = f"out_{i:04d}.txt"
+        assert (outdir / name).read_text() == (refdir / name).read_text(), i
+
+
+@pytest.mark.slow
 def test_two_process_four_devices_each(tmp_path):
     """Pod shape: 2 processes x 4 local devices = 8-device global mesh.
     The offset axis shards over local (ICI-analog) AND cross-process (DCN)
