@@ -92,6 +92,25 @@ def test_config_env_override(monkeypatch):
     importlib.reload(cfg)
 
 
+def test_psa_gen_cli(tmp_path):
+    """psa-gen writes parseable reference-format files, incl. multi-case."""
+    from psa_tpu.utils.generator import main as gen_main
+    from psa_tpu.utils.io import read_cases, read_input
+
+    out = tmp_path / "in.txt"
+    assert gen_main(["300", "50", "-o", str(out), "--cases", "3",
+                     "--seed", "5", "--mode", "maximum",
+                     "--weights", "2,1,1,5"]) == 0
+    cases = read_cases(str(out))
+    assert len(cases) == 3
+    assert all(q.is_max and len(q.seq1) == 300 and len(q.seq2) == 50
+               for q in cases)
+    assert list(cases[0].weights) == [2.0, 1.0, 1.0, 5.0]
+    assert cases[0].seq1 != cases[1].seq1          # per-case seeds differ
+    assert read_input(str(out)).seq1 == cases[0].seq1
+    assert gen_main(["300", "50", "-o", str(out), "--weights", "1 2 3"]) == 2
+
+
 def test_health_probe_short_circuits_on_cpu_pin():
     """With the process pinned to CPU (conftest), effective_platform must
     answer without spawning a probe subprocess."""
