@@ -242,11 +242,17 @@ def _main_batch(args) -> int:
         outdir = outdir[: -len(".txt")]
     os.makedirs(outdir, exist_ok=True)
 
+    import contextlib
+
+    from psa_tpu.utils.profiling import trace
+
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     t0 = time.perf_counter()
     try:
-        results = search_batch(cases, backend=args.backend,
-                               strict_alphabet=not args.lenient,
-                               mesh=_batch_mesh(args))
+        with tracer:
+            results = search_batch(cases, backend=args.backend,
+                                   strict_alphabet=not args.lenient,
+                                   mesh=_batch_mesh(args))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -374,14 +380,29 @@ def _main_serve(args) -> int:
       `error <message>`               malformed query line (server keeps going)
     Blank lines are ignored.  --json swaps result lines for JSON objects.
     """
+    import contextlib
+
+    from psa_tpu.utils.profiling import trace
+
+    reader = _ServeLineReader(sys.stdin)
+    mesh = _batch_mesh(args)
+    t_start = time.perf_counter()
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with tracer:
+        rc = _serve_loop(args, reader, mesh)
+    if not args.quiet:
+        print("total time: %g" % (time.perf_counter() - t_start),
+              file=sys.stderr)
+    return rc
+
+
+def _serve_loop(args, reader, mesh) -> int:
+    """The chunk loop of `_main_serve`; returns the process exit code."""
     from psa_tpu.core.alphabet import validate
     from psa_tpu.models.batch import search_batch
     from psa_tpu.utils.io import parse_input
 
-    reader = _ServeLineReader(sys.stdin)
-    mesh = _batch_mesh(args)
     served = 0
-    t_start = time.perf_counter()
     while True:
         lines, eof = reader.next_chunk(max(1, args.serve_batch))
         if lines:
@@ -445,9 +466,6 @@ def _main_serve(args) -> int:
                       f"({served} total)", file=sys.stderr)
         if eof:
             break
-    if not args.quiet:
-        print("total time: %g" % (time.perf_counter() - t_start),
-              file=sys.stderr)
     return 0
 
 
