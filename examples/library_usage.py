@@ -68,7 +68,35 @@ def sharded_multichip():
           f"score={res.score:g}")
 
 
+def sharded_batch_serving():
+    """Query axis sharded over every local device: each device sweeps its
+    own block of queries (no collectives), selection stays bit-exact."""
+    from psa_tpu.core.alphabet import encode, pad_codes
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import batched_search_exact_sharded
+    from psa_tpu.parallel.mesh import make_mesh
+    from psa_tpu.utils.generator import random_sequences
+
+    n1, n2, l2p = 1_000, 120, 128
+    l1k = 1024 + l2p
+    B = 6
+    c1b, c2b = [], []
+    for seed in range(B):
+        s1, s2 = random_sequences(n1, n2, seed=seed)
+        c1b.append(pad_codes(encode(s1), l1k))
+        c2b.append(pad_codes(encode(s2), l2p))
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    mesh = make_mesh(jax.devices(), axis="dp")
+    results = batched_search_exact_sharded(
+        np.stack(c1b), np.stack(c2b),
+        np.full(B, n1 - n2 + 1, np.int32), np.full(B, n2, np.int32),
+        tables, mesh)
+    print(f"sharded batch ({jax.device_count()} devices): "
+          + " ".join(f"{r.offset}" for r in results))
+
+
 if __name__ == "__main__":
     single_query()
     batch_serving()
     sharded_multichip()
+    sharded_batch_serving()
