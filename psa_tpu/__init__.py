@@ -26,6 +26,18 @@ from psa_tpu.core.alphabet import encode, decode
 from psa_tpu.core.tables import ScoringTables, build_tables
 from psa_tpu.core.result import SearchResult, NoMutationFound
 from psa_tpu.models.search import AlignmentSearchEngine, search
+from psa_tpu.utils.io import Query
+
+
+def search_batch(queries, backend: str = "auto",
+                 strict_alphabet: bool = True, mesh=None):
+    """Lazy re-export of models.batch.search_batch (importing the batch
+    module pulls in jax; the single-query surfaces above do not)."""
+    from psa_tpu.models.batch import search_batch as _sb
+
+    return _sb(queries, backend=backend, strict_alphabet=strict_alphabet,
+               mesh=mesh)
+
 
 __all__ = [
     "encode",
@@ -36,6 +48,8 @@ __all__ = [
     "NoMutationFound",
     "AlignmentSearchEngine",
     "search",
+    "search_batch",
+    "Query",
 ]
 
 __version__ = "0.1.0"
