@@ -149,6 +149,24 @@ def test_two_process_batch_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_batch_bad_input_fails_all_ranks(tmp_path):
+    """--distributed --batch with an unreadable input: the status broadcast
+    preceding the case broadcast fails every rank promptly (exit 2)."""
+    port = _free_port()
+    outdir = tmp_path / "outs"
+    base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
+            "--batch", "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--platform", "cpu",
+            "--backend", "native", "-o", str(outdir)]
+    cmds = [base + ["--process-id", str(i), "/nonexistent/input.txt"]
+            for i in range(2)]
+    rcs, outs = _spawn(cmds, timeout=120)
+    assert rcs == [2, 2], f"{rcs}:\n{outs[0]}\n---\n{outs[1]}"
+    assert "cannot open input file" in outs[0]
+    assert not outdir.exists()
+
+
+@pytest.mark.slow
 def test_two_process_four_devices_each(tmp_path):
     """Pod shape: 2 processes x 4 local devices = 8-device global mesh.
     The offset axis shards over local (ICI-analog) AND cross-process (DCN)
