@@ -8,6 +8,8 @@ irrational, adversarially tied), hyphen densities, and shape regimes
   - end-to-end winners: native C++ and pallas-interpret vs the numpy oracle
   - stats-level parity on multi-tile shapes (pallas interpret)
   - the exact batched path (fused kernel + host selection) vs per-query
+  - the mesh-sharded exact batch path (random 2/4/8-shard virtual meshes)
+  - the serve protocol end-to-end (real psa --serve subprocess over pipes)
 
 Emits one JSON line; nonzero exit on any mismatch.
 
@@ -32,6 +34,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -179,11 +187,106 @@ def main():
             _bm._EXACT_RUNNERS.clear()   # shape-keyed runner closures
             jax.clear_caches()
 
+    # --- regime 4: mesh-sharded exact batch path ---------------------------
+    from psa_tpu.models.batch import batched_search_exact_sharded
+    from psa_tpu.parallel.mesh import make_mesh
+
+    n_r4 = max(args.cases // 20, 2)
+    n_sharded = 0
+    for case in range(n_r4):
+        n2 = int(rng.integers(50, 200))
+        n1 = n2 + int(rng.integers(200, 1400))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        t = build_tables(w, is_max)
+        B = int(rng.integers(2, 10))
+        ndev = int(rng.choice([2, 4, 8]))
+        from psa_tpu.ops.pallas_sweep import plan_shapes
+
+        _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+        c1b = np.stack([pad_codes(random_codes(n1, 0.05), l1k)
+                        for _ in range(B)])
+        c2b = np.stack([pad_codes(random_codes(n2, 0.05), l2p)
+                        for _ in range(B)])
+        noffs = np.full(B, n1 - n2 + 1, np.int32)
+        n2s = np.full(B, n2, np.int32)
+        mesh = make_mesh(jax.devices()[:ndev], axis="dp")
+        rs = batched_search_exact_sharded(c1b, c2b, noffs, n2s, t, mesh,
+                                          interpret=True)
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        for q in range(B):
+            n_sharded += 1
+            try:
+                r = ref_eng.search_codes(c1b[q][:n1], c2b[q][:n2])
+                want = (r.offset, r.char_offset, r.sub_code, r.score)
+            except NoMutationFound:
+                want = None
+            except Exception as ex:  # noqa: BLE001
+                want = type(ex).__name__
+            got = rs[q]
+            got = (None if got is None else
+                   (got.offset, got.char_offset, got.sub_code, got.score))
+            if got != want:
+                mismatches.append({"regime": "sharded", "case": case,
+                                   "q": q, "ndev": ndev, "got": str(got),
+                                   "want": str(want), "w": w.tolist(),
+                                   "is_max": is_max})
+        log(f"[campaign] sharded {case+1}/{n_r4} (ndev={ndev}, "
+            f"{time.perf_counter()-t0:.0f}s)")
+        from psa_tpu.models import batch as _bm
+
+        _bm._EXACT_RUNNERS.clear()
+        jax.clear_caches()
+
+    # --- regime 5: serve protocol end-to-end -------------------------------
+    import subprocess
+
+    from psa_tpu.core.alphabet import decode
+
+    n_r5 = max(args.cases // 10, 10)
+    n_serve = 0
+    lines, wants = [], []
+    for case in range(n_r5):
+        n2 = int(rng.integers(5, 150))
+        n1 = n2 + int(rng.integers(0, 600))
+        w = np.round(rng.uniform(-2, 4, size=4) * 4) / 4
+        is_max = bool(rng.integers(0, 2))
+        s1 = decode(random_codes(n1, 0.05))
+        s2 = decode(random_codes(n2, 0.05))
+        lines.append(" ".join("%g" % x for x in w)
+                     + f" {s1} {s2} " + ("maximum" if is_max else "minimum"))
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        try:
+            r = ref_eng.search(s1, s2)
+            wants.append("%d %g %s" % (r.offset, r.score, r.mutant(s2)))
+        except NoMutationFound:
+            bad = float("-inf") if is_max else float("inf")
+            wants.append("-1 %g %s" % (bad, s2))
+    proc = subprocess.run(
+        [sys.executable, "-m", "psa_tpu.utils.cli", "--serve", "--quiet",
+         "--platform", "cpu", "--backend", "native"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        timeout=600)
+    got_lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or len(got_lines) != n_r5:
+        mismatches.append({"regime": "serve", "rc": proc.returncode,
+                           "n_out": len(got_lines),
+                           "stderr": proc.stderr[-500:]})
+    else:
+        for q, (got, want) in enumerate(zip(got_lines, wants)):
+            n_serve += 1
+            if got != want:
+                mismatches.append({"regime": "serve", "q": q,
+                                   "got": got[:80], "want": want[:80]})
+    log(f"[campaign] serve {n_serve} queries "
+        f"({time.perf_counter()-t0:.0f}s)")
+
     out = {
         "metric": "parity_campaign",
         "seed": args.seed,
         "checks": {"e2e": n_e2e, "multitile_stats": n_stats,
-                   "batch_queries": n_batch},
+                   "batch_queries": n_batch, "sharded_queries": n_sharded,
+                   "serve_queries": n_serve},
         "mismatches": mismatches,
         "ok": not mismatches,
         "seconds": round(time.perf_counter() - t0, 1),
