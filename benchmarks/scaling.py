@@ -150,7 +150,8 @@ def serve_ladder(args, sizes) -> int:
 
     from psa_tpu.core.alphabet import encode, pad_codes
     from psa_tpu.core.tables import build_tables
-    from psa_tpu.models.batch import make_batched_fused_sharded_runner
+    from psa_tpu.models.batch import (make_batched_fused_sharded_runner,
+                                      pack_query_inputs)
     from psa_tpu.ops.pallas_sweep import plan_shapes
     from psa_tpu.parallel.mesh import make_mesh
     from psa_tpu.utils.generator import random_sequences
@@ -165,9 +166,10 @@ def serve_ladder(args, sizes) -> int:
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
     _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
     seqs = [random_sequences(n1, n2, seed=s) for s in range(B)]
-    c1b = jnp.asarray(np.stack([pad_codes(encode(a), l1k) for a, _ in seqs]))
-    c2b = jnp.asarray(np.stack([pad_codes(encode(b), l2p) for _, b in seqs]))
-    noffs = jnp.asarray(np.full(B, n1 - n2 + 1, np.int32))
+    c1b = np.stack([pad_codes(encode(a), l1k) for a, _ in seqs])
+    c2b = np.stack([pad_codes(encode(b), l2p) for _, b in seqs])
+    noffs = np.full(B, n1 - n2 + 1, np.int32)
+    inbuf = jnp.asarray(pack_query_inputs(c1b, c2b, noffs))
     log(f"[scaling] serve mode: platform={platform} B={B} {n1}x{n2} "
         f"(l1k={l1k}, l2p={l2p})")
 
@@ -179,18 +181,20 @@ def serve_ladder(args, sizes) -> int:
                                                 interpret)
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def chained(p1, p2, pn, k, run=run):
+        def chained(buf, k, run=run):
             def body(i, acc):
-                p1x = jnp.roll(p1, i, axis=1)  # defeat dispatch dedup
-                out = run(p1x, p2, pn)
+                bufx = buf.at[0, 0].set(      # defeat dispatch dedup
+                    ((buf[0, 0].astype(jnp.int32) + i) % 27).astype(
+                        buf.dtype))
+                out = run(bufx)
                 return acc + out[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         t0 = time.perf_counter()
-        np.asarray(chained(c1b, c2b, noffs, args.iters))
+        np.asarray(chained(inbuf, args.iters))
         t_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(chained(c1b, c2b, noffs, args.iters))
+        np.asarray(chained(inbuf, args.iters))
         dt = (time.perf_counter() - t0) / args.iters
         rate = B / dt
         if base_rate is None:

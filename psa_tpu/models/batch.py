@@ -409,14 +409,17 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     bl = b // ndev
     assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
 
-    def local(c1b, c2b, noffs):
+    def local(inbuf):
+        # ONE packed int8 upload, sharded on the batch axis (each row is
+        # one query: codes + noff bytes); unpacked in-graph per shard
+        c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
         stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
                                           interpret, qpp)
         return pack_epilogue_outputs(
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
     fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(P(axis), P(axis), P(axis)),
+                           in_specs=(P(axis),),
                            out_specs=P(axis),
                            check_vma=False))   # pallas_call can't carry vma
     _EXACT_RUNNERS[key] = fn
@@ -426,16 +429,19 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
 def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
                                  tables: ScoringTables, mesh: Mesh,
                                  interpret: bool | None = None,
-                                 k: int = TOPK):
+                                 k: int = TOPK, micro_b: int | None = None):
     """Bit-exact batched search with the batch axis sharded over a mesh.
 
     Same contract as `batched_search_exact` (list of SearchResult | None,
     reference-sequential winner semantics), but each mesh device sweeps an
-    equal contiguous block of queries.  The batch pads up to a multiple of
-    the device count with all-PAD dummy rows (reported as no-mutation and
-    sliced off), with the per-shard count rounded to a power of two so one
-    compiled program serves any workload size.
+    equal contiguous block of queries.  Like the non-sharded path, the
+    workload streams through fixed-size microbatches (per-shard count
+    power-of-two-padded up to config `micro_batch`, dummy all-PAD rows
+    sliced off) with a 2-deep dispatch pipeline — one compiled program
+    serves any workload size and each microbatch is ONE packed upload.
     """
+    import collections
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     c1b = np.asarray(c1b)
@@ -449,26 +455,41 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
     from psa_tpu.config import CONFIG
     from psa_tpu.core.alphabet import PAD_CODE
 
-    per = _round_batch(-(-b_n // ndev), CONFIG.micro_batch)
-    bpad = per * ndev
-    p1, p2, pn = c1b, c2b, noffs
-    if bpad != b_n:
-        p1 = np.concatenate(
-            [p1, np.full((bpad - b_n, l1k), PAD_CODE, p1.dtype)])
-        p2 = np.concatenate(
-            [p2, np.full((bpad - b_n, l2p), PAD_CODE, p2.dtype)])
-        pn = np.concatenate([pn, np.ones(bpad - b_n, pn.dtype)])
+    mb = int(micro_b) if micro_b else CONFIG.micro_batch
+    results: list = [None] * b_n
 
-    run = make_batched_fused_sharded_runner(tables, bpad, l1k, l2p, mesh,
-                                            bool(interpret), k)
-    with mesh:
-        out = run(jnp.asarray(p1), jnp.asarray(p2),
-                  jnp.asarray(pn.astype(np.int32)))
-    buf = np.asarray(out)[:b_n]
-    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
-    stats_k = np.swapaxes(stats_k, 1, 2)       # (n, 5, k) -> (n, k, 5)
-    return _host_select(c1b, c2b, noffs, n2s, tables, topi, stats_k, near,
-                        best, k)
+    def dispatch(s: int, e: int):
+        n = e - s
+        per = _round_batch(-(-n // ndev), mb)
+        bpad = per * ndev
+        p1, p2, pn = c1b[s:e], c2b[s:e], noffs[s:e]
+        if bpad != n:
+            p1 = np.concatenate(
+                [p1, np.full((bpad - n, l1k), PAD_CODE, p1.dtype)])
+            p2 = np.concatenate(
+                [p2, np.full((bpad - n, l2p), PAD_CODE, p2.dtype)])
+            pn = np.concatenate([pn, np.ones(bpad - n, pn.dtype)])
+        run = make_batched_fused_sharded_runner(tables, bpad, l1k, l2p,
+                                                mesh, bool(interpret), k)
+        return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
+
+    def finish(span, dev_out):
+        s, e = span
+        buf = np.asarray(dev_out)[: e - s]
+        topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+        stats_k = np.swapaxes(stats_k, 1, 2)   # (n, 5, k) -> (n, k, 5)
+        results[s:e] = _host_select(c1b[s:e], c2b[s:e], noffs[s:e],
+                                    n2s[s:e], tables, topi, stats_k, near,
+                                    best, k)
+
+    pending: collections.deque = collections.deque()
+    for s, e in microbatch_spans(b_n, mb * ndev):
+        pending.append(((s, e), dispatch(s, e)))
+        if len(pending) >= 2:
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
+    return results
 
 
 def microbatch_spans(b_n: int, mb: int) -> list:

@@ -101,12 +101,17 @@ def _partition(n: int, nproc: int, pid: int) -> tuple[int, int]:
 
 def broadcast_cases(cases=None):
     """Broadcast a whole case list from process 0 (the batch analog of
-    `broadcast_query`): one header array + weights + two concatenated code
-    arrays — 4 DCN broadcasts regardless of case count."""
+    `broadcast_query`): one header array + weights + two concatenated RAW
+    BYTE arrays — 4 DCN broadcasts regardless of case count.
+
+    Sequences ship as raw bytes (not alphabet codes): under --lenient the
+    inputs may contain arbitrary characters, and a code round-trip would
+    collapse them all to '?'.  The primary returns its ORIGINAL list, so
+    its output files are byte-identical to single-process mode by
+    construction."""
     import jax
     from jax.experimental import multihost_utils
 
-    from psa_tpu.core.alphabet import decode, encode
     from psa_tpu.utils.io import Query
 
     if jax.process_count() == 1:
@@ -118,9 +123,11 @@ def broadcast_cases(cases=None):
                           for q in cases], np.int32).reshape(-1, 3)
         w = np.array([np.asarray(q.weights, np.float64) for q in cases],
                      np.float64).reshape(-1, 4)
-        c1cat = np.concatenate([encode(q.seq1) for q in cases])
-        c2cat = np.concatenate([encode(q.seq2) for q in cases])
-        meta = np.array([len(cases), c1cat.shape[0], c2cat.shape[0]],
+        b1cat = np.frombuffer(
+            "".join(q.seq1 for q in cases).encode("latin-1"), np.uint8)
+        b2cat = np.frombuffer(
+            "".join(q.seq2 for q in cases).encode("latin-1"), np.uint8)
+        meta = np.array([len(cases), b1cat.shape[0], b2cat.shape[0]],
                         np.int32)
     else:
         meta = np.zeros(3, np.int32)
@@ -129,20 +136,23 @@ def broadcast_cases(cases=None):
     if not is_primary():
         heads = np.zeros((n, 3), np.int32)
         w = np.zeros((n, 4), np.float64)
-        c1cat = np.zeros(t1, np.int32)
-        c2cat = np.zeros(t2, np.int32)
+        b1cat = np.zeros(t1, np.uint8)
+        b2cat = np.zeros(t2, np.uint8)
     heads = multihost_utils.broadcast_one_to_all(heads)
     w = multihost_utils.broadcast_one_to_all(w)
-    c1cat = multihost_utils.broadcast_one_to_all(c1cat.astype(np.int32))
-    c2cat = multihost_utils.broadcast_one_to_all(c2cat.astype(np.int32))
+    b1cat = multihost_utils.broadcast_one_to_all(b1cat)
+    b2cat = multihost_utils.broadcast_one_to_all(b2cat)
+    if is_primary():
+        return cases
 
     out, o1, o2 = [], 0, 0
     for i in range(n):
         n1, n2, is_max = (int(x) for x in heads[i])
-        out.append(Query(weights=w[i],
-                         seq1=decode(c1cat[o1: o1 + n1]),
-                         seq2=decode(c2cat[o2: o2 + n2]),
-                         is_max=bool(is_max)))
+        out.append(Query(
+            weights=w[i],
+            seq1=b1cat[o1: o1 + n1].tobytes().decode("latin-1"),
+            seq2=b2cat[o2: o2 + n2].tobytes().decode("latin-1"),
+            is_max=bool(is_max)))
         o1 += n1
         o2 += n2
     return out
@@ -150,7 +160,9 @@ def broadcast_cases(cases=None):
 
 def run_distributed_batch(input_path: str, outdir: str,
                           backend: str = "auto",
-                          lenient: bool = False) -> int:
+                          lenient: bool = False,
+                          quiet: bool = False,
+                          json_out: bool = False) -> int:
     """Multi-process batch flow: proc-0 read -> case broadcast -> contiguous
     case blocks per process (each searched with the local batched engine) ->
     allgather of packed winner rows -> proc-0 writes out_%04d.txt files.
@@ -220,21 +232,30 @@ def run_distributed_batch(input_path: str, outdir: str,
     for i, q in enumerate(cases):
         path = os.path.join(outdir, f"out_{i:04d}.txt")
         found, off, coff, sub, score = rows[i]
+        res = None
+        if found:
+            from psa_tpu.core.result import SearchResult
+
+            res = SearchResult(offset=int(off), char_offset=int(coff),
+                               sub_code=int(sub), score=float(score))
+        else:
+            n_missing += 1
         with open(path, "w") as f:
-            if not found:
-                n_missing += 1
+            if res is None:
                 bad = float("-inf") if q.is_max else float("inf")
                 f.write(format_output(q.seq2, -1, bad))
             else:
-                from psa_tpu.core.alphabet import decode_char
+                f.write(format_output(res.mutant(q.seq2), res.offset,
+                                      res.score))
+        if json_out:
+            from psa_tpu.utils.cli import _result_json
 
-                mut = (q.seq2[: int(coff)] + decode_char(int(sub))
-                       + q.seq2[int(coff) + 1:])
-                f.write(format_output(mut, int(off), score))
-    import sys
+            print(_result_json(q, res, case=i), flush=True)
+    if not quiet:
+        import sys
 
-    print(f"{len(cases)} cases -> {outdir}/ "
-          f"({n_missing} without mutation)", file=sys.stderr, flush=True)
+        print(f"{len(cases)} cases -> {outdir}/ "
+              f"({n_missing} without mutation)", file=sys.stderr, flush=True)
     return 1 if n_missing else 0
 
 
@@ -290,17 +311,18 @@ def run_distributed_search(input_path: str, output_path: str,
 
     tables = build_tables(w, is_max)
     mesh = make_mesh()  # global mesh across all hosts' devices
+    # the primary writes from its ORIGINAL seq2 string, never from decoded
+    # codes — under --lenient, out-of-alphabet characters all map to
+    # OTHER_CODE and would decode as '?' (the search itself is unaffected:
+    # out-of-range chars share one defined semantics)
     try:
         res = search_sharded(c1, c2, tables, mesh, kernel=backend_kernel)
     except NoMutationFound:
         if is_primary():
-            from psa_tpu.core.alphabet import decode
-
-            write_output(output_path, decode(c2), -1,
+            write_output(output_path, query.seq2, -1,
                          float("-inf") if is_max else float("inf"))
         return 1
     if is_primary():
-        from psa_tpu.core.alphabet import decode
-
-        write_output(output_path, res.mutant_from_codes(c2), res.offset, res.score)
+        write_output(output_path, res.mutant(query.seq2), res.offset,
+                     res.score)
     return 0

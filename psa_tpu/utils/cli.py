@@ -522,7 +522,9 @@ def _main_distributed(args) -> int:
         try:
             code = multihost.run_distributed_batch(args.input, outdir,
                                                    backend=args.backend,
-                                                   lenient=args.lenient)
+                                                   lenient=args.lenient,
+                                                   quiet=args.quiet,
+                                                   json_out=args.json)
         except FileNotFoundError:
             print(f"error: cannot open input file `{args.input}`",
                   file=sys.stderr)
@@ -530,7 +532,7 @@ def _main_distributed(args) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        if multihost.is_primary() and not args.quiet:
+        if multihost.is_primary() and not args.quiet and not args.json:
             print("total time: %g" % (time.perf_counter() - t0))
         return code
 

@@ -66,13 +66,17 @@ def main(argv: list[str] | None = None) -> int:
                         "one scratchpad-style file for --batch mode")
     args = p.parse_args(argv)
 
+    import sys
+
     try:
         weights = [float(w) for w in args.weights.replace(",", " ").split()]
         if len(weights) != 4:
             raise ValueError
     except ValueError:
-        print("error: --weights needs exactly 4 numbers", file=__import__(
-            "sys").stderr)
+        print("error: --weights needs exactly 4 numbers", file=sys.stderr)
+        return 2
+    if args.n2 > args.n1:
+        print("error: n2 must be <= n1", file=sys.stderr)
         return 2
     with open(args.output, "w") as f:
         for c in range(args.cases):

@@ -256,6 +256,30 @@ def test_cli_batch_mode(tmp_path):
         assert (outdir / f"out_{i:04d}.txt").read_text() == single.read_text()
 
 
+def test_batched_exact_sharded_microbatch_pipeline(tables_min):
+    """The sharded path streams through microbatches (per-shard count >
+    micro_b) and still matches the non-sharded exact path."""
+    import jax
+
+    from psa_tpu.models.batch import batched_search_exact_sharded
+    from psa_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    n1, n2, l2p = 700, 120, 128
+    l1k = 1024 + l2p
+    B = 9
+    c1b, c2b, noffs, n2s = _batch(rng, B, n1, n2, l1k, l2p)
+    mesh = make_mesh(jax.devices()[:2], axis="dp")
+    got = batched_search_exact_sharded(c1b, c2b, noffs, n2s, tables_min,
+                                       mesh, interpret=True, micro_b=2)
+    want = batched_search_exact(c1b, c2b, noffs, n2s, tables_min,
+                                interpret=True)
+    for q in range(B):
+        assert (got[q].offset, got[q].char_offset, got[q].sub_code,
+                got[q].score) == (want[q].offset, want[q].char_offset,
+                                  want[q].sub_code, want[q].score), q
+
+
 def test_cli_batch_sharded_device_path(tmp_path):
     """--batch --sharded --backend pallas routes buckets through the
     mesh-sharded exact device path (interpret on CPU) and still

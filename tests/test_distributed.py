@@ -125,25 +125,29 @@ def test_two_process_batch_mode(tmp_path):
              (300, 50, "maximum")]):
         s1, s2 = random_sequences(n1, n2, seed=60 + seed)
         recs.append(f"1 3 4 2\n{s1}\n{s2}\n{mode}")
+    # a lenient case with out-of-alphabet chars: the output must carry the
+    # ORIGINAL characters, not '?' (the case broadcast ships raw bytes)
+    s1, s2 = random_sequences(300, 50, seed=99)
+    recs.append(f"1 3 4 2\n{s1[:100]}xyz{s1[103:]}\n{s2}\nminimum")
     inp = tmp_path / "cases.txt"
     inp.write_text("\n".join(recs))
 
     # single-process reference outputs
     refdir = tmp_path / "ref"
-    assert main([str(inp), "-o", str(refdir), "--batch",
+    assert main([str(inp), "-o", str(refdir), "--batch", "--lenient",
                  "--backend", "numpy", "--quiet"]) == 0
 
     port = _free_port()
     outdir = tmp_path / "outs"
     base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
-            "--batch", "--coordinator", f"localhost:{port}",
+            "--batch", "--lenient", "--coordinator", f"localhost:{port}",
             "--num-processes", "2", "--platform", "cpu",
             "--backend", "native", "-o", str(outdir)]
     cmds = [base + ["--process-id", "0", str(inp)],
             base + ["--process-id", "1", "/nonexistent/never-read.txt"]]
     rcs, outs = _spawn(cmds)
     assert rcs == [0, 0], f"batch failure:\n{outs[0]}\n---\n{outs[1]}"
-    for i in range(5):
+    for i in range(6):
         name = f"out_{i:04d}.txt"
         assert (outdir / name).read_text() == (refdir / name).read_text(), i
 

@@ -109,6 +109,7 @@ def test_psa_gen_cli(tmp_path):
     assert cases[0].seq1 != cases[1].seq1          # per-case seeds differ
     assert read_input(str(out)).seq1 == cases[0].seq1
     assert gen_main(["300", "50", "-o", str(out), "--weights", "1 2 3"]) == 2
+    assert gen_main(["50", "300", "-o", str(out)]) == 2   # n2 > n1
 
 
 def test_health_probe_short_circuits_on_cpu_pin():
