@@ -66,3 +66,14 @@ def pad_codes(codes: np.ndarray, length: int) -> np.ndarray:
 def validate(seq: str) -> bool:
     """True when every character is in the engine's defined alphabet (A-Z, '-')."""
     return all(("A" <= c <= "Z") or c == "-" for c in seq)
+
+
+ALPHABET_ERROR = ("sequences must contain only A-Z and '-' "
+                  "(pass --lenient to accept reference-UB inputs)")
+
+
+def ensure_valid(seq1: str, seq2: str, lenient: bool = False) -> None:
+    """Raise ValueError(ALPHABET_ERROR) on out-of-alphabet chars in strict
+    mode — the one shared validation gate for every CLI/serving surface."""
+    if not lenient and not (validate(seq1) and validate(seq2)):
+        raise ValueError(ALPHABET_ERROR)

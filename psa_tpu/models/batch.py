@@ -440,8 +440,6 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
     sliced off) with a 2-deep dispatch pipeline — one compiled program
     serves any workload size and each microbatch is ONE packed upload.
     """
-    import collections
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     c1b = np.asarray(c1b)
@@ -453,25 +451,67 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
     ndev = mesh.devices.size
 
     from psa_tpu.config import CONFIG
-    from psa_tpu.core.alphabet import PAD_CODE
 
     mb = int(micro_b) if micro_b else CONFIG.micro_batch
     results: list = [None] * b_n
 
     def dispatch(s: int, e: int):
-        n = e - s
-        per = _round_batch(-(-n // ndev), mb)
-        bpad = per * ndev
-        p1, p2, pn = c1b[s:e], c2b[s:e], noffs[s:e]
-        if bpad != n:
-            p1 = np.concatenate(
-                [p1, np.full((bpad - n, l1k), PAD_CODE, p1.dtype)])
-            p2 = np.concatenate(
-                [p2, np.full((bpad - n, l2p), PAD_CODE, p2.dtype)])
-            pn = np.concatenate([pn, np.ones(bpad - n, pn.dtype)])
-        run = make_batched_fused_sharded_runner(tables, bpad, l1k, l2p,
-                                                mesh, bool(interpret), k)
+        per = _round_batch(-(-(e - s) // ndev), mb)
+        p1, p2, pn = _pad_batch_rows(c1b[s:e], c2b[s:e], noffs[s:e],
+                                     per * ndev)
+        run = make_batched_fused_sharded_runner(tables, per * ndev, l1k,
+                                                l2p, mesh, bool(interpret),
+                                                k)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
+
+    _run_pipelined(microbatch_spans(b_n, mb * ndev), dispatch,
+                   _make_finisher(results, c1b, c2b, noffs, n2s, tables, k))
+    return results
+
+
+def microbatch_spans(b_n: int, mb: int) -> list:
+    """Contiguous [start, end) spans covering [0, b_n) in steps of mb —
+    the batched_search_exact pipeline's work partition."""
+    return [(s, min(s + mb, b_n)) for s in range(0, b_n, mb)]
+
+
+def _pad_batch_rows(p1, p2, pn, bpad: int):
+    """Pad a microbatch with all-PAD dummy rows up to `bpad` queries.
+
+    Dummy rows report no-mutation (maxrank -1 everywhere) and are sliced
+    off in the finish stage; noff=1 keeps their sweep trivial."""
+    n = p1.shape[0]
+    if bpad == n:
+        return p1, p2, pn
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    p1 = np.concatenate(
+        [p1, np.full((bpad - n, p1.shape[1]), PAD_CODE, p1.dtype)])
+    p2 = np.concatenate(
+        [p2, np.full((bpad - n, p2.shape[1]), PAD_CODE, p2.dtype)])
+    pn = np.concatenate([pn, np.ones(bpad - n, pn.dtype)])
+    return p1, p2, pn
+
+
+def _run_pipelined(spans, dispatch, finish) -> None:
+    """2-deep dispatch pipeline shared by the exact batch paths: batch i+1
+    is uploaded and dispatched BEFORE batch i's results are fetched, so
+    host-side selection of batch i overlaps device compute of batch i+1."""
+    import collections
+
+    pending: collections.deque = collections.deque()
+    for s, e in spans:
+        pending.append(((s, e), dispatch(s, e)))
+        if len(pending) >= 2:
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
+
+
+def _make_finisher(results: list, c1b, c2b, noffs, n2s,
+                   tables: ScoringTables, k: int):
+    """Shared finish stage: unpack one microbatch's packed device output
+    and run the exact host selection into `results`."""
 
     def finish(span, dev_out):
         s, e = span
@@ -482,20 +522,7 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
                                     n2s[s:e], tables, topi, stats_k, near,
                                     best, k)
 
-    pending: collections.deque = collections.deque()
-    for s, e in microbatch_spans(b_n, mb * ndev):
-        pending.append(((s, e), dispatch(s, e)))
-        if len(pending) >= 2:
-            finish(*pending.popleft())
-    while pending:
-        finish(*pending.popleft())
-    return results
-
-
-def microbatch_spans(b_n: int, mb: int) -> list:
-    """Contiguous [start, end) spans covering [0, b_n) in steps of mb —
-    the batched_search_exact pipeline's work partition."""
-    return [(s, min(s + mb, b_n)) for s in range(0, b_n, mb)]
+    return finish
 
 
 def _round_batch(n: int, cap: int) -> int:
@@ -527,8 +554,6 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     numpy path — rare (requires >k offsets within ~1e-5 of the best), and
     correctness never depends on the f32 ranking.
     """
-    import collections
-
     import jax
 
     from psa_tpu.config import CONFIG
@@ -544,20 +569,9 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     mb = int(micro_b) if micro_b else CONFIG.micro_batch
     results: list = [None] * b_n
 
-    from psa_tpu.core.alphabet import PAD_CODE
-
     def dispatch(s: int, e: int):
-        n = e - s
-        bpad = _round_batch(n, mb)
-        p1, p2, pn = c1b[s:e], c2b[s:e], noffs[s:e]
-        if bpad != n:
-            # dummy rows: all-PAD sequences, one offset — the epilogue sees
-            # no valid offset (maxrank -1 everywhere) and reports no-mutation
-            p1 = np.concatenate(
-                [p1, np.full((bpad - n, l1k), PAD_CODE, p1.dtype)])
-            p2 = np.concatenate(
-                [p2, np.full((bpad - n, l2p), PAD_CODE, p2.dtype)])
-            pn = np.concatenate([pn, np.ones(bpad - n, pn.dtype)])
+        bpad = _round_batch(e - s, mb)
+        p1, p2, pn = _pad_batch_rows(c1b[s:e], c2b[s:e], noffs[s:e], bpad)
         if fused:
             run = make_batched_fused_runner(tables, bpad, l1k, l2p,
                                             bool(interpret), k)
@@ -565,26 +579,12 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
             run = make_batched_exact_runner(tables, l1k, l2p,
                                             bool(interpret), k)
         # ONE packed int8 upload + async dispatch; the packed int32 output
-        # is fetched later in finish() (the remote-TPU tunnel charges per
-        # round trip, not per byte)
+        # is fetched later in the finish stage (the remote-TPU tunnel
+        # charges per round trip, not per byte)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
 
-    def finish(span, dev_out):
-        s, e = span
-        buf = np.asarray(dev_out)[: e - s]
-        topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
-        stats_k = np.swapaxes(stats_k, 1, 2)   # (n, 5, k) -> (n, k, 5)
-        results[s:e] = _host_select(c1b[s:e], c2b[s:e], noffs[s:e],
-                                    n2s[s:e], tables, topi, stats_k, near,
-                                    best, k)
-
-    pending: collections.deque = collections.deque()
-    for s, e in microbatch_spans(b_n, mb):
-        pending.append(((s, e), dispatch(s, e)))
-        if len(pending) >= 2:
-            finish(*pending.popleft())
-    while pending:
-        finish(*pending.popleft())
+    _run_pipelined(microbatch_spans(b_n, mb), dispatch,
+                   _make_finisher(results, c1b, c2b, noffs, n2s, tables, k))
     return results
 
 
@@ -729,8 +729,9 @@ def search_batch(queries, backend: str = "auto",
     buckets: dict = {}
     for i, q in enumerate(queries):
         if strict_alphabet and not (validate(q.seq1) and validate(q.seq2)):
-            raise ValueError(
-                f"case {i}: sequences must contain only A-Z and '-'")
+            from psa_tpu.core.alphabet import ALPHABET_ERROR
+
+            raise ValueError(f"case {i}: {ALPHABET_ERROR}")
         _, noff_pad, l2p, l1k = plan_shapes(len(q.seq1), len(q.seq2))
         key = (tuple(float(w) for w in q.weights), q.is_max, l1k, l2p)
         buckets.setdefault(key, []).append(i)

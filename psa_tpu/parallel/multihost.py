@@ -158,6 +158,39 @@ def broadcast_cases(cases=None):
     return out
 
 
+def _read_on_primary(read_fn, input_path: str, lenient: bool, valid_fn):
+    """Primary-only read+validate with a status broadcast BEFORE any payload
+    broadcast, so a bad input file fails every rank promptly instead of
+    stranding the others inside broadcast_one_to_all.  Returns the payload
+    on the primary, None elsewhere; raises the primary's error everywhere."""
+    import jax
+
+    payload, status = None, 0
+    if is_primary():
+        try:
+            payload = read_fn(input_path)
+            if not lenient and not valid_fn(payload):
+                status = 3
+        except FileNotFoundError:
+            status = 1
+        except ValueError:
+            status = 2
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        status = int(multihost_utils.broadcast_one_to_all(
+            np.array([status], np.int32))[0])
+    if status == 1:
+        raise FileNotFoundError(input_path)
+    if status == 2:
+        raise ValueError(f"bad input file `{input_path}`")
+    if status == 3:
+        from psa_tpu.core.alphabet import ALPHABET_ERROR
+
+        raise ValueError(ALPHABET_ERROR)
+    return payload
+
+
 def run_distributed_batch(input_path: str, outdir: str,
                           backend: str = "auto",
                           lenient: bool = False,
@@ -178,31 +211,9 @@ def run_distributed_batch(input_path: str, outdir: str,
     from psa_tpu.models.batch import search_batch
     from psa_tpu.utils.io import format_output, read_cases
 
-    cases = None
-    status = 0
-    if is_primary():
-        try:
-            cases = read_cases(input_path)
-            if not lenient and not all(
-                    validate(q.seq1) and validate(q.seq2) for q in cases):
-                status = 3
-        except FileNotFoundError:
-            status = 1
-        except ValueError:
-            status = 2
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        status = int(multihost_utils.broadcast_one_to_all(
-            np.array([status], np.int32))[0])
-    if status == 1:
-        raise FileNotFoundError(input_path)
-    if status == 2:
-        raise ValueError(f"bad input file `{input_path}`")
-    if status == 3:
-        raise ValueError("sequences must contain only A-Z and '-' "
-                         "(pass --lenient to accept reference-UB inputs)")
-
+    cases = _read_on_primary(
+        read_cases, input_path, lenient,
+        lambda cs: all(validate(q.seq1) and validate(q.seq2) for q in cs))
     cases = broadcast_cases(cases)
     nproc = jax.process_count()
     pid = jax.process_index()
@@ -275,31 +286,9 @@ def run_distributed_search(input_path: str, output_path: str,
     from psa_tpu.parallel.mesh import make_mesh, search_sharded
     from psa_tpu.utils.io import read_input, write_output
 
-    query = None
-    status = 0
-    if is_primary():
-        try:
-            query = read_input(input_path)
-            if not lenient and not (validate(query.seq1)
-                                    and validate(query.seq2)):
-                status = 3
-        except FileNotFoundError:
-            status = 1
-        except ValueError:
-            status = 2
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        status = int(multihost_utils.broadcast_one_to_all(
-            np.array([status], np.int32))[0])
-    if status == 1:
-        raise FileNotFoundError(input_path)
-    if status == 2:
-        raise ValueError(f"bad input file `{input_path}`")
-    if status == 3:
-        raise ValueError("sequences must contain only A-Z and '-' "
-                         "(pass --lenient to accept reference-UB inputs)")
-
+    query = _read_on_primary(
+        read_input, input_path, lenient,
+        lambda q: validate(q.seq1) and validate(q.seq2))
     if jax.process_count() > 1:
         w, c1, c2, is_max = broadcast_query(query)
     else:

@@ -151,14 +151,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         with tracer:
             if args.sharded:
-                from psa_tpu.core.alphabet import validate
+                from psa_tpu.core.alphabet import ensure_valid
                 from psa_tpu.parallel.mesh import search_sharded
 
-                if not args.lenient and not (validate(query.seq1)
-                                             and validate(query.seq2)):
-                    raise ValueError(
-                        "sequences must contain only A-Z and '-' "
-                        "(pass --lenient to accept reference-UB inputs)")
+                ensure_valid(query.seq1, query.seq2, args.lenient)
                 res = search_sharded(encode(query.seq1), encode(query.seq2),
                                      engine.tables,
                                      kernel=_sharded_kernel(args.backend))
@@ -398,7 +394,7 @@ def _main_serve(args) -> int:
 
 def _serve_loop(args, reader, mesh) -> int:
     """The chunk loop of `_main_serve`; returns the process exit code."""
-    from psa_tpu.core.alphabet import validate
+    from psa_tpu.core.alphabet import ensure_valid
     from psa_tpu.models.batch import search_batch
     from psa_tpu.utils.io import parse_input
 
@@ -414,11 +410,7 @@ def _serve_loop(args, reader, mesh) -> int:
                     continue
                 try:
                     q = parse_input(s)
-                    if not args.lenient and not (validate(q.seq1)
-                                                 and validate(q.seq2)):
-                        raise ValueError("sequences must contain only A-Z "
-                                         "and '-' (start with --lenient to "
-                                         "accept reference-UB inputs)")
+                    ensure_valid(q.seq1, q.seq2, args.lenient)
                 except ValueError as e:
                     outputs[j] = (_serve_error_json(str(e)) if args.json
                                   else f"error {e}")
