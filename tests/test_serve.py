@@ -91,6 +91,17 @@ def test_serve_mixed_modes_and_weights_one_chunk(monkeypatch, capsys):
     assert out == [_expected(ln) for ln in lines]
 
 
+def test_serve_sharded_device_path(monkeypatch, capsys):
+    """--serve --sharded routes device buckets through the mesh-sharded
+    exact batch path (interpret on the 8-device CPU mesh)."""
+    lines = [_query_line(seed, n1=700, n2=120) for seed in range(3)]
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    assert main(["--serve", "--quiet", "--sharded",
+                 "--backend", "pallas"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [_expected(ln) for ln in lines]
+
+
 def test_serve_client_gone_exits_quietly(monkeypatch, capsys):
     """A BrokenPipeError on the reply stream ends the server with
     128+SIGPIPE, not a traceback."""
