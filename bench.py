@@ -77,6 +77,22 @@ def bench_sweep(engine: str, n1: int, n2: int, iters: int, seed: int = 0):
         def one(aa, bb):
             counts, maxrank = _sweep_conv(aa, bb, code_tab, tables.num_ranks)
             return counts[0, 0] + maxrank[-1]
+    elif engine == "native":
+        # host C++/OpenMP engine: no chaining needed (no dispatch RPCs)
+        from psa_tpu.models.search import AlignmentSearchEngine
+
+        eng = AlignmentSearchEngine(tables.weights, tables.is_max,
+                                    backend="native")
+        eng.search_codes(c1, c2)                      # warm (builds the lib)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            eng.search_codes(c1, c2)
+        dt = (time.perf_counter() - t0) / iters
+        pair_evals = float(noff) * float(n2)
+        rate = pair_evals / dt
+        log(f"[bench] native {n1}x{n2}: {dt*1e3:.2f} ms/sweep, "
+            f"{pair_evals:.3g} pair-evals, {rate:.3g} evals/s")
+        return rate, dt, pair_evals
     else:
         raise ValueError(engine)
 
@@ -125,7 +141,8 @@ def bench_golden(engine: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--engine", default=None, choices=[None, "pallas", "conv"])
+    ap.add_argument("--engine", default=None,
+                    choices=[None, "pallas", "conv", "native"])
     args = ap.parse_args()
 
     # Bounded device-init probe: a dead remote tunnel otherwise retries init
@@ -148,7 +165,16 @@ def main():
     from psa_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     backend = jax.default_backend()
-    engine = args.engine or ("pallas" if backend == "tpu" else "conv")
+    if args.engine:
+        engine = args.engine
+    elif backend == "tpu":
+        engine = "pallas"
+    else:
+        # no accelerator: the native host engine IS the production CPU
+        # path (auto routes there); conv stays as the last-resort fallback
+        from psa_tpu.models.search import native_available
+
+        engine = "native" if native_available() else "conv"
     log(f"[bench] backend={backend} devices={jax.devices()} engine={engine}")
 
     # iters amortizes the per-dispatch round trip through the remote-TPU
@@ -162,7 +188,7 @@ def main():
     # Always produce the JSON line: fall back through engines if the primary
     # path fails (e.g. a wedged TPU tunnel).
     tried = []
-    for eng in dict.fromkeys([engine, "conv"]):
+    for eng in dict.fromkeys([engine, "native", "conv"]):
         try:
             rate, dt, pair_evals = bench_sweep(eng, n1, n2, iters)
             engine = eng
