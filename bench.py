@@ -152,9 +152,13 @@ def main():
     effective_platform()
     degraded = None
     if was_degraded():
-        log("[bench] accelerator unreachable — degraded CPU quick run")
+        log("[bench] accelerator unreachable — degraded CPU run")
         degraded = "accelerator_unreachable"
-        args.quick = True          # interpret/conv on CPU: keep shapes small
+        from psa_tpu.models.search import native_available
+
+        if not native_available():
+            args.quick = True      # interpret/conv on CPU: keep shapes small
+        # (the native engine costs no compile/RPC: full shape is fine)
         # the repo's standing real-TPU artifacts (same kernel, measured on
         # chip earlier this round) so a tunnel outage at bench time doesn't
         # erase the recorded hardware numbers
@@ -189,8 +193,15 @@ def main():
     # path fails (e.g. a wedged TPU tunnel).
     tried = []
     for eng in dict.fromkeys([engine, "native", "conv"]):
+        # an XLA engine on a degraded host must stay at quick shapes even
+        # when the native engine ran full-size (CPU conv at the full shape
+        # is ~11 s/sweep)
+        en1, en2, eit = ((16384, 2048, 16)
+                         if degraded and eng != "native" else
+                         (n1, n2, iters))
         try:
-            rate, dt, pair_evals = bench_sweep(eng, n1, n2, iters)
+            rate, dt, pair_evals = bench_sweep(eng, en1, en2, eit)
+            n1, n2 = en1, en2
             engine = eng
             break
         except Exception as e:  # noqa: BLE001 - report and fall through
