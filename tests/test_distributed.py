@@ -153,6 +153,37 @@ def test_two_process_batch_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_four_process_batch_mode(tmp_path):
+    """4-rank --distributed --batch with 5 cases: the contiguous case
+    partition (remainder to the last rank) must reassemble in order."""
+    from psa_tpu.utils.cli import main
+    from psa_tpu.utils.generator import main as gen_main
+
+    inp = tmp_path / "cases.txt"
+    assert gen_main(["400", "60", "-o", str(inp), "--cases", "5",
+                     "--seed", "80"]) == 0
+
+    refdir = tmp_path / "ref"
+    assert main([str(inp), "-o", str(refdir), "--batch",
+                 "--backend", "numpy", "--quiet"]) == 0
+
+    port = _free_port()
+    outdir = tmp_path / "outs"
+    base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
+            "--batch", "--coordinator", f"localhost:{port}",
+            "--num-processes", "4", "--platform", "cpu",
+            "--backend", "native", "-o", str(outdir), "--quiet"]
+    cmds = [base + ["--process-id", str(i),
+                    str(inp) if i == 0 else "/nonexistent/never-read.txt"]
+            for i in range(4)]
+    rcs, outs = _spawn(cmds, timeout=240)
+    assert rcs == [0] * 4, "\n---\n".join(outs)
+    for i in range(5):
+        name = f"out_{i:04d}.txt"
+        assert (outdir / name).read_text() == (refdir / name).read_text(), i
+
+
+@pytest.mark.slow
 def test_two_process_batch_bad_input_fails_all_ranks(tmp_path):
     """--distributed --batch with an unreadable input: the status broadcast
     preceding the case broadcast fails every rank promptly (exit 2)."""
