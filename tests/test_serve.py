@@ -91,6 +91,57 @@ def test_serve_mixed_modes_and_weights_one_chunk(monkeypatch, capsys):
     assert out == [_expected(ln) for ln in lines]
 
 
+class _PipeStream:
+    """Minimal stdin stand-in exposing a real pipe fd."""
+
+    def __init__(self, fd):
+        self._fd = fd
+
+    def fileno(self):
+        return self._fd
+
+
+def test_serve_line_reader_cap_and_eof_mid_buffer():
+    """Complete lines buffered beyond the chunk cap must come back as
+    separate lines on later chunks, even when EOF (with a trailing
+    unterminated line) arrives in between."""
+    import os
+
+    from psa_tpu.utils.cli import _ServeLineReader
+
+    r, w = os.pipe()
+    os.write(w, b"a\nb\nc\nd\ntail-no-newline")
+    os.close(w)
+    reader = _ServeLineReader(_PipeStream(r))
+    lines1, eof1 = reader.next_chunk(2)
+    assert [ln.strip() for ln in lines1] == ["a", "b"] and not eof1
+    lines2, eof2 = reader.next_chunk(2)
+    assert [ln.strip() for ln in lines2] == ["c", "d"] and not eof2
+    lines3, eof3 = reader.next_chunk(2)
+    assert [ln.strip() for ln in lines3] == ["tail-no-newline"] and eof3
+    lines4, eof4 = reader.next_chunk(2)
+    assert lines4 == [] and eof4
+    os.close(r)
+
+
+def test_serve_line_reader_coalesces_available_lines():
+    """Everything already on the fd lands in one chunk (up to the cap)."""
+    import os
+
+    from psa_tpu.utils.cli import _ServeLineReader
+
+    r, w = os.pipe()
+    os.write(w, b"1\n2\n3\n")
+    reader = _ServeLineReader(_PipeStream(r))
+    lines, eof = reader.next_chunk(10)
+    assert [ln.strip() for ln in lines] == ["1", "2", "3"] and not eof
+    os.write(w, b"4\n")
+    os.close(w)
+    lines, eof = reader.next_chunk(10)
+    assert [ln.strip() for ln in lines] == ["4"] and eof
+    os.close(r)
+
+
 def test_serve_sharded_device_path(monkeypatch, capsys):
     """--serve --sharded routes device buckets through the mesh-sharded
     exact batch path (interpret on the 8-device CPU mesh)."""
