@@ -195,7 +195,8 @@ def run_distributed_batch(input_path: str, outdir: str,
                           backend: str = "auto",
                           lenient: bool = False,
                           quiet: bool = False,
-                          json_out: bool = False) -> int:
+                          json_out: bool = False,
+                          shard_local: bool = False) -> int:
     """Multi-process batch flow: proc-0 read -> case broadcast -> contiguous
     case blocks per process (each searched with the local batched engine) ->
     allgather of packed winner rows -> proc-0 writes out_%04d.txt files.
@@ -218,8 +219,16 @@ def run_distributed_batch(input_path: str, outdir: str,
     nproc = jax.process_count()
     pid = jax.process_index()
     lo, hi = _partition(len(cases), nproc, pid)
+    # two composable parallel axes: the CASE axis splits across processes
+    # (above); with shard_local each process additionally shards its
+    # block's QUERY axis over its own local chips
+    mesh = None
+    if shard_local:
+        from psa_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.local_devices(), axis="dp")
     block = search_batch(cases[lo:hi], backend=backend,
-                         strict_alphabet=False)
+                         strict_alphabet=False, mesh=mesh)
 
     # packed winner rows: [found, offset, char_offset, sub_code, score]
     rows = np.zeros((len(cases), 5), np.float64)

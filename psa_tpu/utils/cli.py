@@ -516,7 +516,8 @@ def _main_distributed(args) -> int:
                                                    backend=args.backend,
                                                    lenient=args.lenient,
                                                    quiet=args.quiet,
-                                                   json_out=args.json)
+                                                   json_out=args.json,
+                                                   shard_local=args.sharded)
         except FileNotFoundError:
             print(f"error: cannot open input file `{args.input}`",
                   file=sys.stderr)

@@ -33,10 +33,13 @@ def _clean_env():
     return env
 
 
-def _spawn(cmds, timeout=180):
+def _spawn(cmds, timeout=180, extra_env=None):
+    env = _clean_env()
+    if extra_env:
+        env.update(extra_env)
     procs = [subprocess.Popen(c, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True,
-                              env=_clean_env())
+                              env=env)
              for c in cmds]
     outs = []
     for p in procs:
@@ -148,6 +151,39 @@ def test_two_process_batch_mode(tmp_path):
     rcs, outs = _spawn(cmds)
     assert rcs == [0, 0], f"batch failure:\n{outs[0]}\n---\n{outs[1]}"
     for i in range(6):
+        name = f"out_{i:04d}.txt"
+        assert (outdir / name).read_text() == (refdir / name).read_text(), i
+
+
+@pytest.mark.slow
+def test_two_process_batch_sharded_local_mesh(tmp_path):
+    """--distributed --batch --sharded: case blocks across processes AND
+    each process shards its block's query axis over its 4 local virtual
+    devices through the mesh-sharded exact device path."""
+    from psa_tpu.utils.cli import main
+    from psa_tpu.utils.generator import main as gen_main
+
+    inp = tmp_path / "cases.txt"
+    assert gen_main(["400", "60", "-o", str(inp), "--cases", "4",
+                     "--seed", "90"]) == 0
+    refdir = tmp_path / "ref"
+    assert main([str(inp), "-o", str(refdir), "--batch",
+                 "--backend", "numpy", "--quiet"]) == 0
+
+    port = _free_port()
+    outdir = tmp_path / "outs"
+    base = [sys.executable, "-m", "psa_tpu.utils.cli", "--distributed",
+            "--batch", "--sharded", "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--platform", "cpu",
+            "--backend", "pallas", "-o", str(outdir), "--quiet"]
+    cmds = [base + ["--process-id", str(i),
+                    str(inp) if i == 0 else "/nonexistent/never-read.txt"]
+            for i in range(2)]
+    rcs, outs = _spawn(
+        cmds, timeout=300,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+    assert rcs == [0, 0], f"failure:\n{outs[0]}\n---\n{outs[1]}"
+    for i in range(4):
         name = f"out_{i:04d}.txt"
         assert (outdir / name).read_text() == (refdir / name).read_text(), i
 
