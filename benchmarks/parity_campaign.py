@@ -83,7 +83,8 @@ def main():
         w = random_weights()
         is_max = bool(rng.integers(0, 2))
         hp = float(rng.choice([0.0, 0.05, 0.3]))
-        c1, c2 = random_codes(n1, hp), random_codes(n2, hp)
+        op = float(rng.choice([0.0, 0.0, 0.08]))   # lenient-mode OTHER chars
+        c1, c2 = random_codes(n1, hp, op), random_codes(n2, hp, op)
         ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
         outs = {}
         for eng in ("native", "pallas"):
