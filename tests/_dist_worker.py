@@ -16,6 +16,10 @@ only produce the right answer via the broadcast.
 import os
 import sys
 
+# Workers must import psa_tpu even when the package isn't pip-installed
+# (fresh checkouts): fall back to the repo root two levels up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 input_path, outdir = sys.argv[4], sys.argv[5]
 ndev = int(sys.argv[6]) if len(sys.argv) > 6 else 1
