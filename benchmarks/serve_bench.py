@@ -10,6 +10,8 @@ A sample of replies is verified against the exact host oracle.
 
 Usage: python benchmarks/serve_bench.py [--batch 1000] [--n1 2048]
          [--n2 512] [--backend auto] [--verify 8]
+       python benchmarks/serve_bench.py --tcp 8 ...   # N concurrent TCP
+         clients against `psa --serve --listen` (cross-client batching)
 """
 
 from __future__ import annotations
@@ -37,6 +39,10 @@ def main():
     ap.add_argument("--verify", type=int, default=8)
     ap.add_argument("--platform", default=None,
                     help="forwarded to psa --platform (e.g. cpu)")
+    ap.add_argument("--tcp", type=int, default=0, metavar="NCLIENTS",
+                    help="drive the TCP tier (--serve --listen) with this "
+                         "many concurrent socket clients instead of one "
+                         "stdin pipe")
     args = ap.parse_args()
 
     from psa_tpu.utils.generator import random_sequences
@@ -54,6 +60,9 @@ def main():
            "--backend", args.backend]
     if args.platform:
         cmd += ["--platform", args.platform]
+
+    if args.tcp:
+        return run_tcp(args, cmd, lines)
 
     # ONE persistent server process: a warm wave pays process startup and
     # compiles, then the timed wave measures steady-state serving.
@@ -149,6 +158,105 @@ def main():
                    "serve_batch": args.serve_batch,
                    "backend": args.backend,
                    "verified": int(args.verify), "mismatches": n_bad},
+    }))
+    sys.exit(1 if n_bad else 0)
+
+
+def run_tcp(args, cmd, lines):
+    """TCP-tier wave bench: N concurrent clients split the workload; the
+    server coalesces their lines into shared device batches.  Reports the
+    aggregate q/s a fleet of low-rate clients would see."""
+    import collections
+    import signal
+    import socket
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(cmd + ["--listen", "127.0.0.1:0"],
+                            stderr=subprocess.PIPE, text=True)
+    announce = proc.stderr.readline()
+    assert "listening on" in announce, announce
+    port = int(announce.rsplit(":", 1)[1])
+    err_tail = collections.deque(maxlen=40)
+    threading.Thread(
+        target=lambda: err_tail.extend(ln.rstrip("\n") for ln in proc.stderr),
+        daemon=True).start()
+    log(f"[serve_bench] TCP server on port {port}, {args.tcp} clients")
+
+    def client(shard, out):
+        s = socket.create_connection(("127.0.0.1", port), timeout=3600)
+        s.sendall(("\n".join(shard) + "\n").encode())
+        s.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            d = s.recv(1 << 16)
+            if not d:
+                break
+            buf += d
+        s.close()
+        out.extend(buf.decode().splitlines())
+
+    def wave(tag, wave_lines):
+        shards = [wave_lines[i::args.tcp] for i in range(args.tcp)]
+        outs = [[] for _ in shards]
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(sh, o))
+                   for sh, o in zip(shards, outs) if sh]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        n = sum(len(o) for o in outs)
+        log(f"[serve_bench] {tag}: {n} replies from {len(threads)} clients "
+            f"in {dt:.2f}s ({n/dt:.0f} q/s)")
+        if n != len(wave_lines):
+            log(f"[serve_bench] reply count mismatch ({n} != "
+                f"{len(wave_lines)}); server stderr tail:")
+            for ln in list(err_tail)[-20:]:
+                log("  " + ln)
+            proc.kill()
+            sys.exit(1)
+        return dt, shards, outs
+
+    B = len(lines)
+    wave("warm (startup+compile)", lines[: max(1, B // 4)])
+    dt, shards, outs = wave("timed", lines)
+
+    n_bad = 0
+    if args.verify:
+        from psa_tpu.core.result import NoMutationFound
+        from psa_tpu.models.search import AlignmentSearchEngine
+
+        eng = AlignmentSearchEngine(np.array([1.0, 3.0, 4.0, 2.0]), False,
+                                    backend="native")
+        per = max(1, args.verify // max(1, len(shards)))
+        checked = 0
+        for sh, o in zip(shards, outs):
+            for i in np.linspace(0, len(sh) - 1, min(per, len(sh))).astype(int):
+                toks = sh[i].split()
+                try:
+                    res = eng.search(toks[4], toks[5])
+                    want = "%d %g %s" % (res.offset, res.score,
+                                         res.mutant(toks[5]))
+                except NoMutationFound:
+                    want = "-1 %g %s" % (float("inf"), toks[5])
+                checked += 1
+                if o[i] != want:
+                    n_bad += 1
+                    log(f"[serve_bench] MISMATCH client shard reply {i}:\n"
+                        f" got {o[i][:80]}\n want {want[:80]}")
+        log(f"[serve_bench] verified {checked} replies, {n_bad} mismatches")
+
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=30)
+    print(json.dumps({
+        "metric": "serve_tcp_queries_per_sec",
+        "value": B / dt,
+        "unit": "q/s",
+        "detail": {"batch": B, "n1": args.n1, "n2": args.n2,
+                   "clients": args.tcp, "serve_batch": args.serve_batch,
+                   "backend": args.backend, "mismatches": n_bad},
     }))
     sys.exit(1 if n_bad else 0)
 

@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-batch", type=int, default=256, metavar="N",
                    help="max queries coalesced into one dispatch in --serve "
                         "mode (default 256)")
+    p.add_argument("--listen", default=None, metavar="HOST:PORT",
+                   help="with --serve: answer TCP connections instead of "
+                        "stdin — one event loop serves every client, and "
+                        "lines from ALL connections coalesce into shared "
+                        "device batches (continuous batching); replies "
+                        "return per connection in its send order. PORT 0 "
+                        "binds an ephemeral port (announced on stderr). "
+                        "Same line protocol as stdin serve.")
     p.add_argument("--json", action="store_true",
                    help="print one JSON object per case to stdout (offset, "
                         "char position, substitute, score, mutant, time) "
@@ -380,12 +388,19 @@ def _main_serve(args) -> int:
 
     from psa_tpu.utils.profiling import trace
 
-    reader = _ServeLineReader(sys.stdin)
     mesh = _batch_mesh(args)
     t_start = time.perf_counter()
     tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     with tracer:
-        rc = _serve_loop(args, reader, mesh)
+        if args.listen is not None:
+            from psa_tpu.utils.server import serve_tcp
+
+            rc = serve_tcp(args.listen, backend=args.backend,
+                           lenient=args.lenient, json_out=args.json,
+                           mesh=mesh, max_batch=args.serve_batch,
+                           quiet=args.quiet)
+        else:
+            rc = _serve_loop(args, _ServeLineReader(sys.stdin), mesh)
     if not args.quiet:
         print("total time: %g" % (time.perf_counter() - t_start),
               file=sys.stderr)
@@ -394,43 +409,15 @@ def _main_serve(args) -> int:
 
 def _serve_loop(args, reader, mesh) -> int:
     """The chunk loop of `_main_serve`; returns the process exit code."""
-    from psa_tpu.core.alphabet import ensure_valid
-    from psa_tpu.models.batch import search_batch
-    from psa_tpu.utils.io import parse_input
+    from psa_tpu.utils.server import process_query_lines
 
     served = 0
     while True:
         lines, eof = reader.next_chunk(max(1, args.serve_batch))
         if lines:
-            outputs: list[str | None] = [None] * len(lines)
-            queries, slots = [], []
-            for j, ln in enumerate(lines):
-                s = ln.strip()
-                if not s:
-                    continue
-                try:
-                    q = parse_input(s)
-                    ensure_valid(q.seq1, q.seq2, args.lenient)
-                except ValueError as e:
-                    outputs[j] = (_serve_error_json(str(e)) if args.json
-                                  else f"error {e}")
-                    continue
-                queries.append(q)
-                slots.append(j)
-            t0 = time.perf_counter()
-            results = (search_batch(queries, backend=args.backend,
-                                    strict_alphabet=False, mesh=mesh)
-                       if queries else [])
-            dt = time.perf_counter() - t0
-            for j, q, res in zip(slots, queries, results):
-                if args.json:
-                    outputs[j] = _result_json(q, res)
-                elif res is None:
-                    bad = float("-inf") if q.is_max else float("inf")
-                    outputs[j] = "-1 %g %s" % (bad, q.seq2)
-                else:
-                    outputs[j] = "%d %g %s" % (res.offset, res.score,
-                                               res.mutant(q.seq2))
+            outputs, nq, dt = process_query_lines(
+                lines, backend=args.backend, lenient=args.lenient,
+                json_out=args.json, mesh=mesh)
             try:
                 for o in outputs:
                     if o is not None:
@@ -452,19 +439,13 @@ def _serve_loop(args, reader, mesh) -> int:
                 except Exception:  # noqa: BLE001 - non-fd stdout (tests)
                     pass
                 return 141
-            served += len(queries)
-            if not args.quiet and queries:
-                print(f"[serve] {len(queries)} queries in {dt*1e3:.1f} ms "
+            served += nq
+            if not args.quiet and nq:
+                print(f"[serve] {nq} queries in {dt*1e3:.1f} ms "
                       f"({served} total)", file=sys.stderr)
         if eof:
             break
     return 0
-
-
-def _serve_error_json(msg: str) -> str:
-    import json
-
-    return json.dumps({"error": msg})
 
 
 def _batch_mesh(args):

@@ -1,0 +1,323 @@
+"""Network serving front-end: TCP query server with cross-client batching.
+
+The production tier above the stdin/stdout serve loop (utils/cli._main_serve).
+The reference is a one-shot batch program (main.c:13-56); its natural serving
+analog on TPU is a long-lived server that keeps compiled device programs warm
+and fills device batches from MANY concurrent clients:
+
+- one single-threaded `selectors` event loop owns every connection (the
+  device dispatch is the bottleneck and is itself serial per chip, so client
+  threads would only add locking);
+- each readable socket drains into a per-connection buffer; complete lines
+  join one FIFO across ALL connections, so concurrent low-rate clients
+  coalesce into full device batches (continuous batching — the same
+  coalescing the pipe server gets from select-drain, widened to N sockets);
+- replies are routed back per connection in that connection's send order
+  (the FIFO preserves arrival order, and search_batch returns in input
+  order, so per-client ordering needs no sequence numbers);
+- a malformed line yields an `error ...` reply on its own connection and
+  the server keeps going; a vanished client is dropped without disturbing
+  the batch (its replies are discarded at routing time).
+
+Protocol per line: the 7 input-file tokens (4 weights, Seq1, Seq2, mode),
+reply `<offset> <score%g> <mutant>` / `-1 <inf|-inf> <seq2>` / `error <msg>`
+— identical to the pipe server, so anything speaking the stdin protocol can
+speak TCP by pointing at host:port.
+"""
+
+from __future__ import annotations
+
+import selectors
+import signal
+import socket
+import sys
+import time
+from collections import deque
+
+
+def process_query_lines(lines, *, backend: str, lenient: bool,
+                        json_out: bool, mesh):
+    """One serve chunk: query lines -> aligned reply lines.
+
+    Returns (outputs, n_queries, seconds): `outputs[j]` is the reply for
+    `lines[j]` (None for blank lines, which get no reply).  Shared by the
+    stdin serve loop and the TCP server so both speak byte-identical
+    protocol from one implementation.
+    """
+    from psa_tpu.core.alphabet import ensure_valid
+    from psa_tpu.models.batch import search_batch
+    from psa_tpu.utils.io import parse_input
+
+    outputs: list = [None] * len(lines)
+    queries, slots = [], []
+    for j, ln in enumerate(lines):
+        s = ln.strip()
+        if not s:
+            continue
+        try:
+            q = parse_input(s)
+            ensure_valid(q.seq1, q.seq2, lenient)
+        except ValueError as e:
+            outputs[j] = (_error_json(str(e)) if json_out else f"error {e}")
+            continue
+        queries.append(q)
+        slots.append(j)
+    t0 = time.perf_counter()
+    results = (search_batch(queries, backend=backend, strict_alphabet=False,
+                            mesh=mesh) if queries else [])
+    dt = time.perf_counter() - t0
+    for j, q, res in zip(slots, queries, results):
+        if json_out:
+            from psa_tpu.utils.cli import _result_json
+
+            outputs[j] = _result_json(q, res)
+        elif res is None:
+            bad = float("-inf") if q.is_max else float("inf")
+            outputs[j] = "-1 %g %s" % (bad, q.seq2)
+        else:
+            outputs[j] = "%d %g %s" % (res.offset, res.score,
+                                       res.mutant(q.seq2))
+    return outputs, len(queries), dt
+
+
+def _error_json(msg: str) -> str:
+    import json
+
+    return json.dumps({"error": msg})
+
+
+class _Conn:
+    """Per-connection state: input line buffer, reply outbox, lifecycle."""
+
+    __slots__ = ("sock", "inbuf", "outbuf", "read_eof", "npending")
+
+    def __init__(self, sock):
+        self.sock = sock
+        self.inbuf = bytearray()
+        self.outbuf = bytearray()
+        self.read_eof = False       # client finished sending (FIN)
+        self.npending = 0           # its lines still waiting in the FIFO
+
+    def take_lines(self, out: deque) -> None:
+        """Move complete lines from inbuf into the shared FIFO."""
+        while True:
+            nl = self.inbuf.find(b"\n")
+            if nl < 0:
+                break
+            out.append((self, self.inbuf[: nl + 1].decode("utf-8", "replace")))
+            self.npending += 1
+            del self.inbuf[: nl + 1]
+
+    def flush_tail(self, out: deque) -> None:
+        """On EOF, a final unterminated line is still a query (the pipe
+        server honors it too — _ServeLineReader's tail rule)."""
+        if self.inbuf:
+            out.append((self, self.inbuf.decode("utf-8", "replace")))
+            self.npending += 1
+            self.inbuf.clear()
+
+    def done(self) -> bool:
+        return self.read_eof and not self.outbuf and self.npending == 0
+
+
+class TCPQueryServer:
+    """Single-threaded batching TCP server over `process_query_lines`.
+
+    `port=0` binds an ephemeral port; the bound address is announced on
+    stderr as `[serve] listening on HOST:PORT` (machine-parseable — tests
+    and launchers read it).  SIGINT/SIGTERM request a clean stop: the loop
+    finishes the in-flight batch, flushes outboxes, and returns 0.
+    """
+
+    # selector timeout while idle: bounds signal-reaction latency (PEP 475
+    # retries select after the handler runs, so a plain blocking select
+    # would absorb the wakeup)
+    _IDLE_TICK = 0.25
+
+    def __init__(self, host: str, port: int, *, backend: str, lenient: bool,
+                 json_out: bool, mesh, max_batch: int, quiet: bool):
+        self._addr = (host, port)
+        self._backend = backend
+        self._lenient = lenient
+        self._json = json_out
+        self._mesh = mesh
+        self._max_batch = max(1, max_batch)
+        self._quiet = quiet
+        self._stop = False
+        self._served = 0
+        self.bound_addr: tuple | None = None
+
+    def request_stop(self, *_a) -> None:
+        self._stop = True
+
+    def _log(self, msg: str) -> None:
+        if not self._quiet:
+            print(msg, file=sys.stderr, flush=True)
+
+    def run(self) -> int:
+        sel = selectors.DefaultSelector()
+        try:
+            lsock = socket.create_server(self._addr, backlog=64)
+        except OSError as e:
+            print(f"error: cannot listen on "
+                  f"{self._addr[0]}:{self._addr[1]}: {e}", file=sys.stderr)
+            return 2
+        lsock.setblocking(False)
+        self.bound_addr = lsock.getsockname()[:2]
+        # always announced, even under --quiet: launchers and tests parse
+        # this line to learn the ephemeral port (the one piece of stderr
+        # output that is protocol, not progress)
+        print(f"[serve] listening on "
+              f"{self.bound_addr[0]}:{self.bound_addr[1]}",
+              file=sys.stderr, flush=True)
+        sel.register(lsock, selectors.EVENT_READ, None)
+
+        old_int = signal.signal(signal.SIGINT, self.request_stop)
+        old_term = signal.signal(signal.SIGTERM, self.request_stop)
+        fifo: deque = deque()       # (conn, line) across every connection
+        try:
+            while not self._stop:
+                # pending work -> zero timeout (drain whatever is already
+                # readable, then dispatch); idle -> short tick for signals
+                events = sel.select(0 if fifo else self._IDLE_TICK)
+                for key, mask in events:
+                    if key.data is None:
+                        self._accept(sel, lsock)
+                    else:
+                        self._handle(sel, key.data, mask, fifo)
+                if fifo:
+                    self._dispatch(sel, fifo)
+            # clean stop: drop unprocessed lines, flush what was answered
+            self._drain_outboxes(sel)
+        finally:
+            signal.signal(signal.SIGINT, old_int)
+            signal.signal(signal.SIGTERM, old_term)
+            for key in list(sel.get_map().values()):
+                try:
+                    key.fileobj.close()
+                except OSError:
+                    pass
+            sel.close()
+        self._log(f"[serve] stopped ({self._served} queries served)")
+        return 0
+
+    def _accept(self, sel, lsock) -> None:
+        try:
+            sock, peer = lsock.accept()
+        except OSError:
+            return
+        sock.setblocking(False)
+        sel.register(sock, selectors.EVENT_READ, _Conn(sock))
+
+    def _handle(self, sel, conn: _Conn, mask: int, fifo: deque) -> None:
+        if mask & selectors.EVENT_READ and not conn.read_eof:
+            try:
+                data = conn.sock.recv(1 << 16)
+            except BlockingIOError:
+                data = None
+            except OSError:
+                self._close(sel, conn, fifo)
+                return
+            if data is None:
+                pass
+            elif data:
+                conn.inbuf += data
+                conn.take_lines(fifo)
+            else:
+                conn.read_eof = True
+                conn.flush_tail(fifo)
+                if conn.done():
+                    self._close(sel, conn, fifo)
+                    return
+        if mask & selectors.EVENT_WRITE:
+            self._write(sel, conn, fifo)
+
+    def _write(self, sel, conn: _Conn, fifo: deque) -> None:
+        if conn.outbuf:
+            try:
+                n = conn.sock.send(conn.outbuf)
+                del conn.outbuf[:n]
+            except BlockingIOError:
+                return
+            except OSError:
+                self._close(sel, conn, fifo)
+                return
+        if not conn.outbuf:
+            if conn.done():
+                self._close(sel, conn, fifo)
+            else:
+                sel.modify(conn.sock, selectors.EVENT_READ, conn)
+
+    def _close(self, sel, conn: _Conn, fifo: deque) -> None:
+        try:
+            sel.unregister(conn.sock)
+        except (KeyError, ValueError):
+            pass
+        try:
+            conn.sock.close()
+        except OSError:
+            pass
+        conn.read_eof = True
+        conn.outbuf.clear()
+        if conn.npending:
+            # drop its queued lines so a dead client can't occupy the batch
+            remaining = [(c, ln) for c, ln in fifo if c is not conn]
+            fifo.clear()
+            fifo.extend(remaining)
+            conn.npending = 0
+
+    def _dispatch(self, sel, fifo: deque) -> None:
+        """Take up to max_batch lines (FIFO across clients), run ONE batched
+        search, route replies to each client's outbox."""
+        take = min(len(fifo), self._max_batch)
+        batch = [fifo.popleft() for _ in range(take)]
+        lines = [ln for _, ln in batch]
+        outputs, nq, dt = process_query_lines(
+            lines, backend=self._backend, lenient=self._lenient,
+            json_out=self._json, mesh=self._mesh)
+        nconns = len({id(c) for c, _ in batch})
+        for (conn, _), out in zip(batch, outputs):
+            conn.npending = max(0, conn.npending - 1)
+            if conn.sock.fileno() < 0:      # vanished mid-batch
+                continue
+            if out is not None:
+                conn.outbuf += out.encode("utf-8", "replace") + b"\n"
+            if conn.outbuf:
+                sel.modify(conn.sock,
+                           selectors.EVENT_READ | selectors.EVENT_WRITE, conn)
+            elif conn.done():
+                self._close(sel, conn, fifo)
+        self._served += nq
+        if nq:
+            self._log(f"[serve] {nq} queries from {nconns} conn(s) in "
+                      f"{dt*1e3:.1f} ms ({self._served} total)")
+
+    def _drain_outboxes(self, sel, deadline_s: float = 5.0) -> None:
+        """Best-effort flush of answered replies before shutdown."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < deadline_s:
+            conns = [k.data for k in sel.get_map().values()
+                     if k.data is not None and k.data.outbuf]
+            if not conns:
+                return
+            for conn in conns:
+                self._write(sel, conn, deque())
+            time.sleep(0.01)
+
+
+def serve_tcp(listen: str, *, backend: str, lenient: bool, json_out: bool,
+              mesh, max_batch: int, quiet: bool) -> int:
+    """CLI entry: parse HOST:PORT (PORT alone binds 127.0.0.1) and run."""
+    host, sep, port_s = listen.rpartition(":")
+    if not sep:
+        host, port_s = "127.0.0.1", listen
+    try:
+        port = int(port_s)
+    except ValueError:
+        print(f"error: bad --listen address {listen!r} "
+              "(expected HOST:PORT or PORT)", file=sys.stderr)
+        return 2
+    server = TCPQueryServer(host or "127.0.0.1", port, backend=backend,
+                            lenient=lenient, json_out=json_out, mesh=mesh,
+                            max_batch=max_batch, quiet=quiet)
+    return server.run()
