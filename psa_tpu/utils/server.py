@@ -89,7 +89,8 @@ def _error_json(msg: str) -> str:
 class _Conn:
     """Per-connection state: input line buffer, reply outbox, lifecycle."""
 
-    __slots__ = ("sock", "inbuf", "outbuf", "read_eof", "npending")
+    __slots__ = ("sock", "inbuf", "outbuf", "read_eof", "npending",
+                 "interest")
 
     def __init__(self, sock):
         self.sock = sock
@@ -97,6 +98,7 @@ class _Conn:
         self.outbuf = bytearray()
         self.read_eof = False       # client finished sending (FIN)
         self.npending = 0           # its lines still waiting in the FIFO
+        self.interest = 0           # current selector event mask
 
     def take_lines(self, out: deque) -> None:
         """Move complete lines from inbuf into the shared FIFO."""
@@ -178,14 +180,22 @@ class TCPQueryServer:
         try:
             while not self._stop:
                 # pending work -> zero timeout (drain whatever is already
-                # readable, then dispatch); idle -> short tick for signals
+                # readable); idle -> short tick for signals
+                n0 = len(fifo)
                 events = sel.select(0 if fifo else self._IDLE_TICK)
                 for key, mask in events:
                     if key.data is None:
                         self._accept(sel, lsock)
                     else:
                         self._handle(sel, key.data, mask, fifo)
-                if fifo:
+                # dispatch only a FULL batch, or a partial one once input is
+                # quiescent (no new line arrived this pass) — the socket
+                # analog of the pipe reader's drain phase.  Without this,
+                # one recv per connection per pass yields small odd-sized
+                # dispatches, each paying a device round trip (and, for a
+                # new padded size, a compile).
+                if fifo and (len(fifo) >= self._max_batch
+                             or len(fifo) == n0):
                     self._dispatch(sel, fifo)
             # clean stop: drop unprocessed lines, flush what was answered
             self._drain_outboxes(sel)
@@ -207,30 +217,61 @@ class TCPQueryServer:
         except OSError:
             return
         sock.setblocking(False)
-        sel.register(sock, selectors.EVENT_READ, _Conn(sock))
+        conn = _Conn(sock)
+        conn.interest = selectors.EVENT_READ
+        sel.register(sock, conn.interest, conn)
+
+    def _sync_interest(self, sel, conn: _Conn, fifo: deque) -> None:
+        """Keep the selector registration equal to what the connection can
+        actually progress on: READ until the client's FIN (an EOF socket is
+        readable forever — leaving READ interest would spin the loop and
+        defeat the quiescence test), WRITE only while replies are queued.
+        A conn with neither (EOF, replies still being computed) parks
+        unregistered until _dispatch gives it output."""
+        if conn.sock.fileno() < 0:
+            return
+        want = 0
+        if not conn.read_eof:
+            want |= selectors.EVENT_READ
+        if conn.outbuf:
+            want |= selectors.EVENT_WRITE
+        if want == conn.interest:
+            return
+        if not want:
+            sel.unregister(conn.sock)
+        elif not conn.interest:
+            sel.register(conn.sock, want, conn)
+        else:
+            sel.modify(conn.sock, want, conn)
+        conn.interest = want
 
     def _handle(self, sel, conn: _Conn, mask: int, fifo: deque) -> None:
         if mask & selectors.EVENT_READ and not conn.read_eof:
-            try:
-                data = conn.sock.recv(1 << 16)
-            except BlockingIOError:
-                data = None
-            except OSError:
-                self._close(sel, conn, fifo)
-                return
-            if data is None:
-                pass
-            elif data:
-                conn.inbuf += data
-                conn.take_lines(fifo)
-            else:
-                conn.read_eof = True
-                conn.flush_tail(fifo)
-                if conn.done():
+            # drain the socket until it would block (or this connection
+            # alone can fill a batch — per-client backpressure: the rest
+            # stays in the kernel buffer until its lines are dispatched)
+            while conn.npending < self._max_batch:
+                try:
+                    data = conn.sock.recv(1 << 16)
+                except BlockingIOError:
+                    break
+                except OSError:
                     self._close(sel, conn, fifo)
                     return
+                if data:
+                    conn.inbuf += data
+                    conn.take_lines(fifo)
+                else:
+                    conn.read_eof = True
+                    conn.flush_tail(fifo)
+                    if conn.done():
+                        self._close(sel, conn, fifo)
+                        return
+                    break
         if mask & selectors.EVENT_WRITE:
             self._write(sel, conn, fifo)
+            return                  # _write already synced interest/closed
+        self._sync_interest(sel, conn, fifo)
 
     def _write(self, sel, conn: _Conn, fifo: deque) -> None:
         if conn.outbuf:
@@ -242,17 +283,18 @@ class TCPQueryServer:
             except OSError:
                 self._close(sel, conn, fifo)
                 return
-        if not conn.outbuf:
-            if conn.done():
-                self._close(sel, conn, fifo)
-            else:
-                sel.modify(conn.sock, selectors.EVENT_READ, conn)
+        if not conn.outbuf and conn.done():
+            self._close(sel, conn, fifo)
+        else:
+            self._sync_interest(sel, conn, fifo)
 
     def _close(self, sel, conn: _Conn, fifo: deque) -> None:
-        try:
-            sel.unregister(conn.sock)
-        except (KeyError, ValueError):
-            pass
+        if conn.interest:
+            try:
+                sel.unregister(conn.sock)
+            except (KeyError, ValueError):
+                pass
+            conn.interest = 0
         try:
             conn.sock.close()
         except OSError:
@@ -282,11 +324,10 @@ class TCPQueryServer:
                 continue
             if out is not None:
                 conn.outbuf += out.encode("utf-8", "replace") + b"\n"
-            if conn.outbuf:
-                sel.modify(conn.sock,
-                           selectors.EVENT_READ | selectors.EVENT_WRITE, conn)
-            elif conn.done():
+            if not conn.outbuf and conn.done():
                 self._close(sel, conn, fifo)
+            else:
+                self._sync_interest(sel, conn, fifo)
         self._served += nq
         if nq:
             self._log(f"[serve] {nq} queries from {nconns} conn(s) in "
