@@ -32,8 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--novalid", action="store_true",
                     help="v1: measure the clean-input kernel (with_valid=False)")
-    ap.add_argument("--pack", default="splitdot", choices=["splitdot", "cast"],
-                    help="v3: packed band via 4 quarter dots vs cast+bitcast")
+    ap.add_argument("--pack", default="splitdot",
+                    choices=["splitdot", "permdot", "cast"],
+                    help="v3: packed band via 4 quarter dots / one "
+                         "row-permuted dot + sublane-slice OR / cast+bitcast")
     ap.add_argument("--counts", default="defer", choices=["defer", "mxu"],
                     help="v3: per-tile deferred counting vs per-chunk MXU dots")
     ap.add_argument("--check", action="store_true",

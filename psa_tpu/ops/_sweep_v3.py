@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from psa_tpu.core.alphabet import NCODES_PAD, PAD_CODE
 from psa_tpu.core.tables import ScoringTables
 from psa_tpu.ops.common import round_up
-from psa_tpu.ops.pallas_sweep import (_count_mxu, _plane_max, _shear_stride,
+from psa_tpu.ops.pallas_sweep import (_compiler_params, _count_mxu,
+                                      _plane_max, _shear_stride,
                                       _swar_bytemax)
 
 _B1 = np.int32(0x01010101)
@@ -45,6 +46,26 @@ _BYTE3 = np.int32(-16777216)   # 0xFF000000
 def _contract_packed(pcc4, win, width: int, tile_o: int, chunk: int,
                      pack: str):
     """One chunk's packed aligned band (C/4, T) from the MXU."""
+    if pack == "permdot":
+        # ONE full-size dot (identical MXU work to production) whose lhs
+        # lanes are pre-permuted so output row b*(C/4)+k holds chunk row
+        # 4k+b: the packed band is then 4 sublane-contiguous slices
+        # shifted+ORed together — no int32->int8 cast relayout, no bitcast.
+        # The per-byte +b lane residual is applied to each plane BEFORE
+        # packing (roll of the plane == roll of that byte after packing),
+        # which deletes the production 3-roll + 4-mask byte recombine.
+        m = jax.lax.dot_general(
+            pcc4, win,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                              # (C, W) int32, perm
+        c4 = chunk // 4
+        p = (m[0 * c4:1 * c4]
+             | (pltpu.roll(m[1 * c4:2 * c4], 1, 1) << 8)
+             | (pltpu.roll(m[2 * c4:3 * c4], 2, 1) << 16)
+             | (pltpu.roll(m[3 * c4:4 * c4], 3, 1) << 24))
+        p = pltpu.roll(p, width - chunk + 1, 1, stride=4, stride_axis=0)
+        return p[:, :tile_o]
     if pack == "splitdot":
         outs = [
             jax.lax.dot_general(
@@ -146,6 +167,7 @@ def _sweep_pallas_v3(pc_in, s1oh_t, noff_pad: int, nchunks: int,
             pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # n3 acc
         ],
         interpret=interpret,
+        **_compiler_params(tile_o),
     )(pc_in, s1oh_t)
 
 
@@ -162,6 +184,12 @@ def _prepare_v3(codes1p, codes2p, code_tab, l1k: int, l2p: int,
         # pcc[:, b::4] per byte slot: (nchunks, 4, 32, chunk/4)
         pc4 = pc3.reshape(nchunks, 32, chunk // 4, 4).transpose(0, 3, 1, 2)
         return pc4, s1oh_t
+    if pack == "permdot":
+        # lane permutation new[b*(C/4)+k] = old[4k+b] so the dot output's
+        # byte-plane rows come out sublane-contiguous (see _contract_packed)
+        pcp = (pc3.reshape(nchunks, 32, chunk // 4, 4)
+               .transpose(0, 1, 3, 2).reshape(nchunks, 32, chunk))
+        return pcp, s1oh_t
     return pc3, s1oh_t
 
 
