@@ -53,13 +53,6 @@ class EngineConfig:
     # of batch i+1).
     micro_batch: int = _env_int("PSA_MICRO_BATCH", 1024)
 
-    # queries per grid program in the fused batch kernel (clamped to divide
-    # the padded batch).  >1 amortizes the Mosaic grid-program boundary —
-    # part of the measured ~4.8us/query gap between the raw sweep and its
-    # compute floor (TODO.md) — by sweeping several queries back to back in
-    # one program.  Default 1 until measured faster on hardware.
-    batch_qpp: int = _env_int("PSA_BATCH_QPP", 1)
-
     # accelerator health probe deadline (seconds) for the `auto` backend
     # and bench.py — device init through a dead remote tunnel otherwise
     # retries forever (utils/health.py)

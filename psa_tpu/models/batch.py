@@ -86,33 +86,24 @@ _PALLAS_RUNNERS: dict = {}
 
 
 def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
-                  interpret: bool, qpp: int | None = None):
+                  interpret: bool):
     """Shared device front half of both batch runners: unpack the single
     packed input upload, run the fused whole-batch Pallas sweep, and return
     (stats5 (B, 5, noff_pad) int32, noffs (B,)) — rows 0-3 class counts,
-    row 4 maxrank, offset axis minor (the TPU-friendly layout).
-
-    Callers inside cached jitted closures must pass qpp explicitly (the
-    factories resolve CONFIG.batch_qpp and key it into their caches);
-    resolving config at trace time would bake the first-seen value."""
+    row 4 maxrank, offset axis minor (the TPU-friendly layout)."""
     c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
     return _fused_stats5_from_codes(c1b, c2b, tables, b, l1k, l2p,
-                                    interpret, qpp), noffs
+                                    interpret), noffs
 
 
 def _fused_stats5_from_codes(c1b, c2b, tables: ScoringTables, b: int,
-                             l1k: int, l2p: int, interpret: bool,
-                             qpp: int | None = None):
+                             l1k: int, l2p: int, interpret: bool):
     """Fused whole-batch sweep from (b, l1k)/(b, l2p) code arrays ->
     stats5 (b, 5, noff_pad) int32.  Also the per-shard body of the
     mesh-sharded exact batch path (each shard sweeps its local queries)."""
     from psa_tpu.ops.pallas_sweep import (_sweep_pallas_batched,
                                           maxrank_from_maxcode, pick_chunk)
 
-    if qpp is None:
-        from psa_tpu.config import CONFIG
-
-        qpp = CONFIG.batch_qpp
     noff_pad = l1k - l2p
     chunk = pick_chunk(l2p)
     nchunks = l2p // chunk
@@ -125,7 +116,7 @@ def _fused_stats5_from_codes(c1b, c2b, tables: ScoringTables, b: int,
               .reshape(b, 32, nchunks, chunk)
               .transpose(0, 2, 1, 3)[:, :, :, ::-1])
     out = _sweep_pallas_batched(s1c_all, pc_all, b, noff_pad, l2p,
-                                interpret, qpp=qpp)          # (B, 8, NP)
+                                interpret)                   # (B, 8, NP)
     maxrank = maxrank_from_maxcode(out[:, 4:5, :])
     return jnp.concatenate([out[:, :4, :], maxrank], axis=1)
 
@@ -137,11 +128,8 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
     even with the XLA compile cache warm, so callers must reuse this
     runner.  Same fused sweep as the exact path; only the epilogue differs
     (in-graph f32 argmax instead of checkable top-k)."""
-    from psa_tpu.config import CONFIG
-
-    qpp = CONFIG.batch_qpp        # keyed: no CONFIG read at trace time
     key = ("f32", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-           l2p, interpret, qpp)
+           l2p, interpret)
     cached = _PALLAS_RUNNERS.get(key)
     if cached is not None:
         return cached
@@ -152,8 +140,7 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
 
     @jax.jit
     def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret,
-                                      qpp=qpp)
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
         keyed, total = keyed_f32_totals(stats5[:, :4, :], stats5[:, 4, :],
                                         tables, noffs, counts_axis=-2)
         best = jnp.argmax(keyed, axis=-1).astype(jnp.int32)
@@ -353,14 +340,8 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     Replaces the lax.scan-of-sweeps runner whose ~350us/query dispatch
     overhead dominated serving-sized workloads.
     """
-    # config resolved HERE and keyed: the jitted closure below must not read
-    # CONFIG at trace time (a later batch_qpp change would silently reuse
-    # the first-seen trace)
-    from psa_tpu.config import CONFIG
-
-    qpp = CONFIG.batch_qpp
     key = ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-           l2p, interpret, k, qpp)
+           l2p, interpret, k)
     cached = _EXACT_RUNNERS.get(key)
     if cached is not None:
         return cached
@@ -371,8 +352,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     @jax.jit
     def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret,
-                                      qpp=qpp)
+        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
         return pack_epilogue_outputs(
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
@@ -393,14 +373,11 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     collectives: the packed per-query outputs come back batch-sharded and
     the exact host selection is unchanged.
     """
-    from psa_tpu.config import CONFIG
-
-    qpp = CONFIG.batch_qpp        # keyed: no CONFIG read at trace time
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
     key = ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
-           b, l1k, l2p, mesh_key, interpret, k, qpp)
+           b, l1k, l2p, mesh_key, interpret, k)
     cached = _EXACT_RUNNERS.get(key)
     if cached is not None:
         return cached
@@ -414,7 +391,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
         # one query: codes + noff bytes); unpacked in-graph per shard
         c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
         stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
-                                          interpret, qpp)
+                                          interpret)
         return pack_epilogue_outputs(
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
 
@@ -426,20 +403,13 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     return fn
 
 
-def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
-                                 tables: ScoringTables, mesh: Mesh,
-                                 interpret: bool | None = None,
-                                 k: int = TOPK, micro_b: int | None = None):
-    """Bit-exact batched search with the batch axis sharded over a mesh.
-
-    Same contract as `batched_search_exact` (list of SearchResult | None,
-    reference-sequential winner semantics), but each mesh device sweeps an
-    equal contiguous block of queries.  Like the non-sharded path, the
-    workload streams through fixed-size microbatches (per-shard count
-    power-of-two-padded up to config `micro_batch`, dummy all-PAD rows
-    sliced off) with a 2-deep dispatch pipeline — one compiled program
-    serves any workload size and each microbatch is ONE packed upload.
-    """
+def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
+                                       tables: ScoringTables, mesh: Mesh,
+                                       interpret: bool | None = None,
+                                       k: int = TOPK,
+                                       micro_b: int | None = None):
+    """Async `batched_search_exact_sharded`: every microbatch dispatches up
+    front, (handles, finish) returns — see `_dispatch_all_spans`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     c1b = np.asarray(c1b)
@@ -464,9 +434,28 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
                                                 k)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
 
-    _run_pipelined(microbatch_spans(b_n, mb * ndev), dispatch,
-                   _make_finisher(results, c1b, c2b, noffs, n2s, tables, k))
-    return results
+    return _dispatch_all_spans(
+        microbatch_spans(b_n, mb * ndev), dispatch,
+        _make_finisher(results, c1b, c2b, noffs, n2s, tables, k), results)
+
+
+def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
+                                 tables: ScoringTables, mesh: Mesh,
+                                 interpret: bool | None = None,
+                                 k: int = TOPK, micro_b: int | None = None):
+    """Bit-exact batched search with the batch axis sharded over a mesh.
+
+    Same contract as `batched_search_exact` (list of SearchResult | None,
+    reference-sequential winner semantics), but each mesh device sweeps an
+    equal contiguous block of queries.  Like the non-sharded path, the
+    workload streams through fixed-size microbatches (per-shard count
+    power-of-two-padded up to config `micro_batch`, dummy all-PAD rows
+    sliced off), all dispatched up front — one compiled program serves any
+    workload size and each microbatch is ONE packed upload.
+    """
+    _, finish = batched_search_exact_sharded_async(
+        c1b, c2b, noffs, n2s, tables, mesh, interpret, k, micro_b)
+    return finish()
 
 
 def microbatch_spans(b_n: int, mb: int) -> list:
@@ -493,19 +482,25 @@ def _pad_batch_rows(p1, p2, pn, bpad: int):
     return p1, p2, pn
 
 
-def _run_pipelined(spans, dispatch, finish) -> None:
-    """2-deep dispatch pipeline shared by the exact batch paths: batch i+1
-    is uploaded and dispatched BEFORE batch i's results are fetched, so
-    host-side selection of batch i overlaps device compute of batch i+1."""
-    import collections
+def _dispatch_all_spans(spans, dispatch, finish_one, results):
+    """Dispatch every microbatch up front, defer all fetches.
 
-    pending: collections.deque = collections.deque()
-    for s, e in spans:
-        pending.append(((s, e), dispatch(s, e)))
-        if len(pending) >= 2:
-            finish(*pending.popleft())
-    while pending:
-        finish(*pending.popleft())
+    Uploads and device programs enqueue asynchronously (each dispatch is
+    one packed upload + one program), so the device works through the whole
+    stream back to back while `finish()` fetches + host-selects in order —
+    host selection of batch i overlaps device compute of batches i+1.. .
+    Returns (handles, finish): `handles` are the in-flight packed device
+    outputs (pollable via `h.is_ready()` — the serving tier keeps draining
+    client I/O while the device computes), `finish()` blocks and returns
+    the completed results list."""
+    pending = [((s, e), dispatch(s, e)) for s, e in spans]
+
+    def finish():
+        for span, dev in pending:
+            finish_one(span, dev)
+        return results
+
+    return [dev for _, dev in pending], finish
 
 
 def _make_finisher(results: list, c1b, c2b, noffs, n2s,
@@ -536,24 +531,12 @@ def _round_batch(n: int, cap: int) -> int:
     return max(min(r, cap), n)
 
 
-def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
-                         interpret: bool | None = None, k: int = TOPK,
-                         fused: bool = True, micro_b: int | None = None):
-    """Bit-exact batched search: device top-k candidates -> host sequential
-    re-scoring (same machinery as the single-query path, ops/select.py).
-
-    Queries stream through the device in fixed-size microbatches (config
-    `micro_batch`, padded up to a power of two) with a 2-deep dispatch
-    pipeline: batch i+1 is uploaded and dispatched BEFORE batch i's results
-    are fetched, so host-side selection of batch i overlaps device compute
-    of batch i+1 and one compiled program serves any workload size.
-
-    Returns a list of SearchResult | None (None = no mutation exists, the
-    defined behavior for the reference's UB path, SURVEY.md Q3).  Queries
-    whose f32 near-tie band exceeds k fall back to the exact single-query
-    numpy path — rare (requires >k offsets within ~1e-5 of the best), and
-    correctness never depends on the f32 ranking.
-    """
+def batched_search_exact_async(c1b, c2b, noffs, n2s, tables: ScoringTables,
+                               interpret: bool | None = None, k: int = TOPK,
+                               fused: bool = True,
+                               micro_b: int | None = None):
+    """Async `batched_search_exact`: every microbatch dispatches up front,
+    (handles, finish) returns — see `_dispatch_all_spans`."""
     import jax
 
     from psa_tpu.config import CONFIG
@@ -583,9 +566,31 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
         # charges per round trip, not per byte)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
 
-    _run_pipelined(microbatch_spans(b_n, mb), dispatch,
-                   _make_finisher(results, c1b, c2b, noffs, n2s, tables, k))
-    return results
+    return _dispatch_all_spans(
+        microbatch_spans(b_n, mb), dispatch,
+        _make_finisher(results, c1b, c2b, noffs, n2s, tables, k), results)
+
+
+def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
+                         interpret: bool | None = None, k: int = TOPK,
+                         fused: bool = True, micro_b: int | None = None):
+    """Bit-exact batched search: device top-k candidates -> host sequential
+    re-scoring (same machinery as the single-query path, ops/select.py).
+
+    Queries stream through the device in fixed-size microbatches (config
+    `micro_batch`, padded up to a power of two), all dispatched before the
+    first fetch, so host-side selection of batch i overlaps device compute
+    of batches i+1.. and one compiled program serves any workload size.
+
+    Returns a list of SearchResult | None (None = no mutation exists, the
+    defined behavior for the reference's UB path, SURVEY.md Q3).  Queries
+    whose f32 near-tie band exceeds k fall back to the exact single-query
+    numpy path — rare (requires >k offsets within ~1e-5 of the best), and
+    correctness never depends on the f32 ranking.
+    """
+    _, finish = batched_search_exact_async(c1b, c2b, noffs, n2s, tables,
+                                           interpret, k, fused, micro_b)
+    return finish()
 
 
 def _host_select(c1b, c2b, noffs, n2s, tables: ScoringTables, topi,
@@ -719,10 +724,74 @@ def search_batch(queries, backend: str = "auto",
     axis across it (batched_search_exact_sharded) instead of running
     single-device.
     """
-    from psa_tpu.core.alphabet import encode, pad_codes, validate
+    return _search_batch_impl(queries, backend, strict_alphabet, mesh,
+                              defer=False)[1]()
+
+
+def search_batch_async(queries, backend: str = "auto",
+                       strict_alphabet: bool = True,
+                       mesh: Mesh | None = None):
+    """Async `search_batch` for the serving tier.
+
+    Device buckets dispatch immediately (one packed upload + enqueued
+    program per microbatch) and (handles, finish) returns: the caller keeps
+    servicing client I/O while the device computes — `handles` are the
+    in-flight packed device outputs, pollable via `h.is_ready()` — then
+    `finish()` completes the fetches, the exact host selection, and any
+    host-engine buckets, returning the results list (input order, None =
+    no legal mutation).  Same failure semantics as `search_batch`: a device
+    failure at dispatch OR fetch time degrades that bucket to the host
+    engine instead of failing the batch.
+    """
+    return _search_batch_impl(queries, backend, strict_alphabet, mesh,
+                              defer=True)
+
+
+def _host_engine_bucket(queries, idxs, results: list, w, is_max,
+                        host_backend: str, strict_alphabet: bool) -> None:
+    """Run one bucket on a host engine (one engine per bucket: the bucket
+    key guarantees shared (weights, mode))."""
     from psa_tpu.core.result import NoMutationFound
-    from psa_tpu.core.tables import build_tables
     from psa_tpu.models.search import AlignmentSearchEngine
+
+    eng = AlignmentSearchEngine(np.asarray(w), is_max, backend=host_backend,
+                                strict_alphabet=strict_alphabet)
+    for i in idxs:
+        q = queries[i]
+        try:
+            results[i] = eng.search(q.seq1, q.seq2)
+        except NoMutationFound:
+            results[i] = None
+
+
+def _device_failure_fallback(backend: str) -> str:
+    """Host backend for a bucket whose device path failed.  After a device
+    failure ("pallas" or "auto"-routed) the fallback must be a HOST engine —
+    "auto" would resolve large queries straight back into the failing
+    device path."""
+    from psa_tpu.models.search import native_available
+
+    if backend in ("pallas", "auto"):
+        return "native" if native_available() else "numpy"
+    return backend
+
+
+def _warn_degrade(e: Exception) -> None:
+    # serving robustness: a device/compile/tunnel failure on one bucket
+    # degrades to the (slower, bit-identical) host engine instead of
+    # failing the whole batch
+    import sys
+
+    print(f"warning: device batch path failed "
+          f"({type(e).__name__}: {e}); running this bucket on "
+          f"the host engine", file=sys.stderr)
+
+
+def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
+                       mesh: Mesh | None, defer: bool):
+    """Shared body of search_batch / search_batch_async -> (handles, finish)."""
+    from psa_tpu.core.alphabet import encode, pad_codes, validate
+    from psa_tpu.core.tables import build_tables
     from psa_tpu.ops.pallas_sweep import plan_shapes
 
     results: list = [None] * len(queries)
@@ -739,6 +808,8 @@ def search_batch(queries, backend: str = "auto",
     if backend == "auto":
         from psa_tpu.config import CONFIG
 
+    handles: list = []
+    finishers: list = []
     for (w, is_max, l1k, l2p), idxs in buckets.items():
         if backend == "auto":
             # workload-aware per bucket, like the single-query crossover
@@ -756,6 +827,7 @@ def search_batch(queries, backend: str = "auto",
                           and effective_platform() == "tpu")
         else:
             use_device = backend == "pallas"
+        device_failed = False
         if use_device:
             tables = build_tables(np.asarray(w), is_max)
             c1b = np.stack([pad_codes(encode(queries[i].seq1), l1k)
@@ -766,48 +838,69 @@ def search_batch(queries, backend: str = "auto",
                               for i in idxs], np.int32)
             n2s = np.array([len(queries[i].seq2) for i in idxs], np.int32)
             try:
-                if mesh is not None:
-                    rs = batched_search_exact_sharded(c1b, c2b, noffs, n2s,
-                                                      tables, mesh)
+                if defer:
+                    if mesh is not None:
+                        h, fin = batched_search_exact_sharded_async(
+                            c1b, c2b, noffs, n2s, tables, mesh)
+                    else:
+                        h, fin = batched_search_exact_async(
+                            c1b, c2b, noffs, n2s, tables)
                 else:
-                    rs = batched_search_exact(c1b, c2b, noffs, n2s, tables)
+                    # the non-deferred calls go through the module-level
+                    # sync names (monkeypatchable seams the failure tests
+                    # rely on); they dispatch AND fetch here
+                    if mesh is not None:
+                        rs = batched_search_exact_sharded(
+                            c1b, c2b, noffs, n2s, tables, mesh)
+                    else:
+                        rs = batched_search_exact(c1b, c2b, noffs, n2s,
+                                                  tables)
             except Exception as e:  # noqa: BLE001 - degrade, don't die
-                # serving robustness: a device/compile/tunnel failure on one
-                # bucket degrades to the (slower, bit-identical) host engine
-                # instead of failing the whole batch
-                import sys
-
-                print(f"warning: device batch path failed "
-                      f"({type(e).__name__}: {e}); running this bucket on "
-                      f"the host engine", file=sys.stderr)
+                _warn_degrade(e)
                 use_device = False
                 device_failed = True
             else:
-                for i, r in zip(idxs, rs):
-                    results[i] = r
-                device_failed = False
-        else:
-            device_failed = False
-        if not use_device:
-            # one engine per bucket: the key guarantees shared (weights, mode).
-            # After a device failure ("pallas" or "auto"-routed) the fallback
-            # must be a HOST engine — "auto" would resolve large queries
-            # straight back into the failing device path.
-            from psa_tpu.models.search import native_available
+                if defer:
+                    handles.extend(h)
 
+                    def fin_bucket(fin=fin, idxs=idxs, w=w, is_max=is_max):
+                        try:
+                            rs = fin()
+                        except Exception as e:  # noqa: BLE001 - degrade
+                            _warn_degrade(e)
+                            _host_engine_bucket(
+                                queries, idxs, results, w, is_max,
+                                _device_failure_fallback(backend),
+                                strict_alphabet)
+                        else:
+                            for i, r in zip(idxs, rs):
+                                results[i] = r
+
+                    finishers.append(fin_bucket)
+                else:
+                    for i, r in zip(idxs, rs):
+                        results[i] = r
+        if not use_device:
             host_backend = backend
             if backend == "pallas" or (device_failed and backend == "auto"):
-                host_backend = "native" if native_available() else "numpy"
-            eng = AlignmentSearchEngine(np.asarray(w), is_max,
-                                        backend=host_backend,
-                                        strict_alphabet=strict_alphabet)
-            for i in idxs:
-                q = queries[i]
-                try:
-                    results[i] = eng.search(q.seq1, q.seq2)
-                except NoMutationFound:
-                    results[i] = None
-    return results
+                host_backend = _device_failure_fallback(backend)
+
+            def fin_host(idxs=idxs, w=w, is_max=is_max,
+                         host_backend=host_backend):
+                _host_engine_bucket(queries, idxs, results, w, is_max,
+                                    host_backend, strict_alphabet)
+
+            if defer:
+                finishers.append(fin_host)
+            else:
+                fin_host()
+
+    def finish():
+        for fin in finishers:
+            fin()
+        return results
+
+    return handles, finish
 
 
 def batched_search_step(tables: ScoringTables, mesh: Mesh, block: int = 512):

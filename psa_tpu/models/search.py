@@ -149,31 +149,36 @@ class AlignmentSearchEngine:
             return search_native(codes1, codes2, self.tables,
                                  nthreads=self.nthreads)
         if backend == "pallas":
+            # Every device-path query runs the checkable-exact top-k
+            # epilogue ON DEVICE: one packed upload, one ~800-byte fetch,
+            # host selection over <= k candidates — matching the reference
+            # GPU driver's copy-only-the-winner-back discipline
+            # (cuda_funcs.cu:106-119).  Fetching the full (noff, 5) stats
+            # instead cost ~9x the sweep time on the 100k x 10k north star
+            # (one multi-MB tunnel RPC + a host scan over 90k offsets).
+            from psa_tpu.core.alphabet import pad_codes
+            from psa_tpu.core.result import NoMutationFound
+            from psa_tpu.models.batch import batched_search_exact
             from psa_tpu.ops.pallas_sweep import MAX_L1_VMEM, plan_shapes
+            from psa_tpu.utils.cache import enable_compilation_cache
 
             noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0],
                                                    codes2.shape[0])
-            if l1k > MAX_L1_VMEM:
-                # Oversized Seq1 (beyond the VMEM-resident one-hot budget):
-                # HBM-streaming batched kernel (B=1) with the checkable-exact
-                # top-k epilogue, so only (k, 5) ints leave the device
-                # instead of the full (noff, 5) stats (~20 MB/1M chars).
-                from psa_tpu.core.alphabet import pad_codes
-                from psa_tpu.core.result import NoMutationFound
-                from psa_tpu.models.batch import batched_search_exact
-                from psa_tpu.utils.cache import enable_compilation_cache
-
-                enable_compilation_cache()
-                res = batched_search_exact(
-                    pad_codes(codes1, l1k)[None, :],
-                    pad_codes(codes2, l2p)[None, :],
-                    np.array([noff], np.int32),
-                    np.array([codes2.shape[0]], np.int32),
-                    self.tables)[0]
-                if res is None:
-                    raise NoMutationFound(
-                        "no offset admits a legal substitution")
-                return res
+            enable_compilation_cache()
+            # Resident-size Seq1 keeps the faster VMEM-resident one-hot
+            # sweep (fused=False -> the scan runner over _sweep_pallas);
+            # oversized Seq1 streams raw codes from HBM via the batched
+            # kernel (fused=True), so Seq1 is HBM-bounded.
+            res = batched_search_exact(
+                pad_codes(codes1, l1k)[None, :],
+                pad_codes(codes2, l2p)[None, :],
+                np.array([noff], np.int32),
+                np.array([codes2.shape[0]], np.int32),
+                self.tables, fused=(l1k > MAX_L1_VMEM))[0]
+            if res is None:
+                raise NoMutationFound(
+                    "no offset admits a legal substitution")
+            return res
         counts, maxrank = self.offset_stats(codes1, codes2)
         noff = codes1.shape[0] - codes2.shape[0] + 1
         return select_best(np.asarray(counts), np.asarray(maxrank),

@@ -1,6 +1,6 @@
 """Kernel experiment: split-dot packed output + deferred class counting.
 
-Two independent toggles over the production kernel (ops/pallas_sweep.py),
+Independent toggles over the production kernel (ops/pallas_sweep.py),
 attacking its two largest measured remaining costs (TODO.md):
 
 * pack='splitdot' — the production kernel's (32,C)@(32,W) MXU dot emits a
@@ -17,6 +17,14 @@ attacking its two largest measured remaining costs (TODO.md):
   0/1-per-byte masks into (C/4, T) int32 byte-wise counters (3 adds/chunk;
   per-byte counts <= nchunks <= 127 so no carry) and run the three count
   dots ONCE per tile in the epilogue.
+
+* pack='permdot' — ONE full-size row-permuted dot (operand rows interleaved
+  so each byte plane's band appears directly), per-plane residual rolls
+  replacing the 3-roll byte recombine, and sublane-slice shift/OR packing to
+  skip the int32->int8 cast + bitcast.  Measured SLOWER than the production
+  cast on chip (unfused 3.30 vs 3.24 ms, fused 3.55 vs 3.38 ms, interleaved
+  at tile 32768 — TODO.md): Mosaic folds the i8 relayout into the dot
+  epilogue while int32 shift/OR packing is real VPU passes.
 
 Bit-exact by construction; verified against the numpy oracle via
 benchmarks/kernel_lab.py --variant v3 --check (interpret mode and on chip).

@@ -315,16 +315,13 @@ def batched_plan(noff_pad: int, l2p: int, chunk: int):
 
 def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
                           cscr_ref, oh_ref, pcq_ref, sems, *, nchunks: int,
-                          tile_o: int, chunk: int, l1q: int, resident: bool,
-                          qpp: int = 1):
-    """Fused multi-query sweep: grid (B/qpp, ntiles); operands stay in HBM.
+                          tile_o: int, chunk: int, l1q: int, resident: bool):
+    """Fused multi-query sweep: grid (B, ntiles); operands stay in HBM.
 
-    qpp (queries per grid program, static): each program sweeps qpp
-    consecutive queries back to back, reusing its scratch — at serving
-    shapes the Mosaic grid-program boundary is a measurable share of the
-    ~4.8us/query overhead between the raw sweep and its compute floor
-    (TODO.md's measured split), and qpp amortizes it without changing any
-    numerics (outputs are written per query exactly as at qpp=1).
+    (A multi-query-per-program restructure was built and measured a dead
+    end — 8.33/8.31/8.31 us/query at qpp 1/2/4 interleaved, TODO.md — so
+    the per-query overhead is the expand/zero work, not the grid-program
+    boundary; one query per program stays.)
 
     Replaces the lax.scan-of-sweeps batch path whose per-query dispatch
     overhead (~350us) dwarfed the actual work for serving-sized queries;
@@ -347,85 +344,81 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
     """
     o0 = pl.program_id(1) * tile_o
     width = tile_o + chunk
+    q = pl.program_id(0)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    macc_ref[...] = jnp.zeros_like(macc_ref)
 
-    for qq in range(qpp):                      # static unroll over queries
-        q = pl.program_id(0) * qpp + qq
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        macc_ref[...] = jnp.zeros_like(macc_ref)
+    if resident:
+        span = tile_o + nchunks * chunk
+        base = pl.multiple_of(q * l1q + o0, chunk)
+        cp_c = pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, span)],
+                                     cscr_ref, sems.at[0, 0])
+        cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[0, 1])
+        cp_c.start()
+        cp_pc.start()
+        cp_c.wait()
+        cp_pc.wait()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
+        row = cscr_ref[0:1, :].astype(jnp.int32)
+        oh_ref[...] = (iota == row).astype(jnp.int8)
 
-        if resident:
-            span = tile_o + nchunks * chunk
-            base = pl.multiple_of(q * l1q + o0, chunk)
-            cp_c = pltpu.make_async_copy(s1c_ref.at[:, pl.ds(base, span)],
-                                         cscr_ref, sems.at[0, 0])
-            cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[0, 1])
-            cp_c.start()
-            cp_pc.start()
-            cp_c.wait()
-            cp_pc.wait()
-            iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
-            row = cscr_ref[0:1, :].astype(jnp.int32)
-            oh_ref[...] = (iota == row).astype(jnp.int8)
+        def body(c, _):
+            win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
+            _contract_decode_accumulate(pcq_ref[c], win, acc_ref,
+                                        width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref)
+            return 0
 
-            def body(c, _):
-                win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
-                _contract_decode_accumulate(pcq_ref[c], win, acc_ref,
-                                            width=width, tile_o=tile_o,
-                                            chunk=chunk, macc_ref=macc_ref)
-                return 0
+        jax.lax.fori_loop(0, nchunks, body, 0)
+    else:
+        def dmas(c, slot):
+            base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
+            return (pltpu.make_async_copy(
+                        s1c_ref.at[:, pl.ds(base, width)],
+                        cscr_ref.at[slot], sems.at[slot, 0]),
+                    pltpu.make_async_copy(pc_ref.at[q, c],
+                                          pcq_ref.at[slot],
+                                          sems.at[slot, 1]))
 
-            jax.lax.fori_loop(0, nchunks, body, 0)
-        else:
-            def dmas(c, slot, q=q):
-                base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
-                return (pltpu.make_async_copy(
-                            s1c_ref.at[:, pl.ds(base, width)],
-                            cscr_ref.at[slot], sems.at[slot, 0]),
-                        pltpu.make_async_copy(pc_ref.at[q, c],
-                                              pcq_ref.at[slot],
-                                              sems.at[slot, 1]))
+        for d in dmas(0, 0):
+            d.start()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (32, width), 0)
 
-            for d in dmas(0, 0):
-                d.start()
-            iota = jax.lax.broadcasted_iota(jnp.int32, (32, width), 0)
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
 
-            def body(c, _):
-                slot = jax.lax.rem(c, 2)
-                nxt = jax.lax.rem(c + 1, 2)
+            @pl.when(c + 1 < nchunks)
+            def _():
+                for d in dmas(c + 1, nxt):
+                    d.start()
 
-                @pl.when(c + 1 < nchunks)
-                def _():
-                    for d in dmas(c + 1, nxt):
-                        d.start()
+            for d in dmas(c, slot):
+                d.wait()
+            row = cscr_ref[slot, 0:1, :].astype(jnp.int32)
+            win = (iota == row).astype(jnp.int8)
+            _contract_decode_accumulate(pcq_ref[slot], win, acc_ref,
+                                        width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref)
+            return 0
 
-                for d in dmas(c, slot):
-                    d.wait()
-                row = cscr_ref[slot, 0:1, :].astype(jnp.int32)
-                win = (iota == row).astype(jnp.int8)
-                _contract_decode_accumulate(pcq_ref[slot], win, acc_ref,
-                                            width=width, tile_o=tile_o,
-                                            chunk=chunk, macc_ref=macc_ref)
-                return 0
-
-            jax.lax.fori_loop(0, nchunks, body, 0)
-        _plane_max(macc_ref[...], acc_ref)
-        out_ref[qq] = acc_ref[...]
+        jax.lax.fori_loop(0, nchunks, body, 0)
+    _plane_max(macc_ref[...], acc_ref)
+    out_ref[0] = acc_ref[...]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "noff_pad", "l2p", "interpret",
-                                    "tile_o", "resident", "qpp"))
+                                    "tile_o", "resident"))
 def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
                           interpret: bool, tile_o: int | None = None,
-                          resident: bool | None = None,
-                          qpp: int | None = None):
+                          resident: bool | None = None):
     """Batched sweep -> (B, 8, noff_pad) int32.
 
     s1c_all: (4, B * (noff_pad + l2p)) int8 raw codes, 4 identical sublane
     rows (queries concatenated, each padded to the same l1q stride);
     pc_all: (B, nchunks, 32, chunk) int8 code columns, reversed in-chunk
-    (see _shear_stride).  qpp: queries per grid program (config batch_qpp
-    when None), clamped to divide b.
+    (see _shear_stride).
     """
     chunk = pc_all.shape[3]
     nchunks = pc_all.shape[1]
@@ -435,20 +428,12 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
     if resident is None:
         resident = _batched_resident(tile_o, l2p)
     extra = _batched_extra_bytes(tile_o, l2p, chunk, resident)
-    if qpp is None:
-        # callers that care (models/batch._fused_stats5) resolve config
-        # OUTSIDE this jitted function — resolving CONFIG.batch_qpp here
-        # would bake the first-seen value into the qpp=None cache entry
-        qpp = 1
-    qpp = max(1, min(qpp, b))
-    while b % qpp:
-        qpp -= 1
     span = tile_o + l2p
     width = tile_o + chunk
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel_batched, nchunks=nchunks,
                                tile_o=tile_o, chunk=chunk, l1q=l1q,
-                               resident=resident, qpp=qpp)
+                               resident=resident)
     if resident:
         buf_shapes = [
             pltpu.VMEM((4, span), jnp.int8),               # tile code window
@@ -463,12 +448,12 @@ def _sweep_pallas_batched(s1c_all, pc_all, b: int, noff_pad: int, l2p: int,
         ]
     return pl.pallas_call(
         kernel,
-        grid=(b // qpp, ntiles),
+        grid=(b, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # pc_all in HBM
             pl.BlockSpec(memory_space=pl.ANY),    # s1c_all in HBM
         ],
-        out_specs=pl.BlockSpec((qpp, 8, tile_o), lambda g, t: (g, 0, t),
+        out_specs=pl.BlockSpec((1, 8, tile_o), lambda g, t: (g, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, noff_pad), jnp.int32),
         scratch_shapes=[

@@ -1,10 +1,18 @@
 """JAX persistent compilation cache enablement.
 
-This environment has no JAX_COMPILATION_CACHE_DIR set, so every fresh
-process re-compiles its kernels — through the remote-TPU tunnel that costs
-minutes per shape.  Bench harnesses and the CLI call this before first
-device use; if the backend's PJRT client cannot serialize executables the
-setting is harmless.
+Bench harnesses and the CLI call this before first device use so that
+deployments with a standard PJRT backend (CPU, directly-attached TPU) reuse
+compiled executables across processes.
+
+KNOWN LIMITATION — this does NOT work on this repo's remote-TPU tunnel:
+axon's remote-compile PJRT client cannot serialize executables, so the
+cache dir stays empty and every fresh process still pays the 30-1400s
+Mosaic compile (measured; see CLAUDE.md).  The remote service itself caches
+compiles across processes intermittently, but that is outside our control.
+The mitigation that DOES work here is architectural: one compiled program
+per shape bucket, all work for a shape batched into one process
+(models/batch.py's runner caches + microbatch buckets).  The setting is
+harmless where serialization fails — it simply never writes.
 """
 
 from __future__ import annotations

@@ -368,6 +368,41 @@ class _ServeLineReader:
             self._pending.clear()
         return lines, self._eof and not self._pending
 
+    def poll_chunk(self, max_lines: int, timeout: float = 0.0):
+        """Non-blocking next_chunk: complete lines already on the fd,
+        waiting at most `timeout` seconds for new bytes.  Used while a
+        dispatched batch computes on the device, so arriving queries join
+        the NEXT batch instead of waiting out a device round trip.
+        Streams without a fileno can't be polled -> ([], eof)."""
+        import os
+        import select as _select
+
+        if self._fd is None:
+            time.sleep(timeout)     # unpollable stream: honor the wait so
+            return [], self._eof    # device-poll loops don't busy-spin
+        lines: list = []
+        first = True
+        while not self._eof and len(lines) < max_lines:
+            if b"\n" in self._pending:
+                self._take_lines(lines, max_lines)
+                continue
+            ready, _, _ = _select.select([self._fd], [], [],
+                                         timeout if first else 0)
+            first = False
+            if not ready:
+                break
+            data = os.read(self._fd, 1 << 16)
+            if not data:
+                self._eof = True
+            else:
+                self._pending += data
+        self._take_lines(lines, max_lines)
+        if (self._eof and self._pending and b"\n" not in self._pending
+                and len(lines) < max_lines):
+            lines.append(self._pending.decode("utf-8", "replace"))
+            self._pending.clear()
+        return lines, self._eof and not self._pending
+
 
 def _main_serve(args) -> int:
     """Streaming serve loop: stdin query lines -> stdout result lines.
@@ -408,43 +443,82 @@ def _main_serve(args) -> int:
 
 
 def _serve_loop(args, reader, mesh) -> int:
-    """The chunk loop of `_main_serve`; returns the process exit code."""
-    from psa_tpu.utils.server import process_query_lines
+    """The chunk loop of `_main_serve`; returns the process exit code.
 
+    Pipelined: up to two batches may be dispatched-but-unfinished, and
+    while the oldest computes on the device the loop keeps draining stdin
+    (reader.poll_chunk) so arriving queries join the NEXT batch instead of
+    waiting out a device round trip.  Replies print strictly in input order
+    (batches finish FIFO).  Partial batches dispatch only once the device
+    pipeline is empty — while the device is busy, a trickle accumulates
+    into a fuller batch (the quiescence rule's pipelined analog)."""
+    from collections import deque
+
+    from psa_tpu.utils.server import dispatch_query_lines
+
+    max_b = max(1, args.serve_batch)
     served = 0
-    while True:
-        lines, eof = reader.next_chunk(max(1, args.serve_batch))
-        if lines:
-            outputs, nq, dt = process_query_lines(
-                lines, backend=args.backend, lenient=args.lenient,
-                json_out=args.json, mesh=mesh)
-            try:
-                for o in outputs:
-                    if o is not None:
-                        print(o)
-                sys.stdout.flush()
-            except BrokenPipeError:
-                # client went away: a server exits quietly (128+SIGPIPE),
-                # it doesn't traceback
-                if not args.quiet:
-                    print("[serve] client closed the reply pipe; exiting",
-                          file=sys.stderr)
-                try:
-                    # park stdout on /dev/null so interpreter shutdown's
-                    # buffer flush can't raise a second EPIPE
-                    import os
+    queued: list = []
+    inflight: deque = deque()      # PendingReplies, finished FIFO
+    eof = False
 
-                    os.dup2(os.open(os.devnull, os.O_WRONLY),
-                            sys.stdout.fileno())
-                except Exception:  # noqa: BLE001 - non-fd stdout (tests)
-                    pass
-                return 141
-            served += nq
-            if not args.quiet and nq:
-                print(f"[serve] {nq} queries in {dt*1e3:.1f} ms "
-                      f"({served} total)", file=sys.stderr)
-        if eof:
-            break
+    def flush_one() -> int:
+        nonlocal served
+        outputs, nq, dt = inflight.popleft().finish()
+        try:
+            for o in outputs:
+                if o is not None:
+                    print(o)
+            sys.stdout.flush()
+        except BrokenPipeError:
+            # client went away: a server exits quietly (128+SIGPIPE),
+            # it doesn't traceback
+            if not args.quiet:
+                print("[serve] client closed the reply pipe; exiting",
+                      file=sys.stderr)
+            try:
+                # park stdout on /dev/null so interpreter shutdown's
+                # buffer flush can't raise a second EPIPE
+                import os
+
+                os.dup2(os.open(os.devnull, os.O_WRONLY),
+                        sys.stdout.fileno())
+            except Exception:  # noqa: BLE001 - non-fd stdout (tests)
+                pass
+            return 141
+        served += nq
+        if not args.quiet and nq:
+            print(f"[serve] {nq} queries in {dt*1e3:.1f} ms "
+                  f"({served} total)", file=sys.stderr)
+        return 0
+
+    while True:
+        # dispatch: a full batch whenever pipeline space exists; a partial
+        # one only once the device pipeline is empty
+        while (len(inflight) < 2
+               and (len(queued) >= max_b or (queued and not inflight))):
+            take = queued[:max_b]
+            del queued[:max_b]
+            inflight.append(dispatch_query_lines(
+                take, backend=args.backend, lenient=args.lenient,
+                json_out=args.json, mesh=mesh))
+        if not inflight:
+            if eof:
+                break
+            lines, eof = reader.next_chunk(max_b)   # idle: block for input
+            queued.extend(lines)
+            continue
+        if (inflight[0].ready() or len(inflight) >= 2
+                or (eof and len(queued) < max_b)):
+            rc = flush_one()
+            if rc:
+                return rc
+            continue
+        # oldest batch still computing and pipeline has room: drain stdin
+        lines, got_eof = reader.poll_chunk(max_b - len(queued),
+                                           timeout=0.002)
+        eof = eof or got_eof
+        queued.extend(lines)
     return 0
 
 

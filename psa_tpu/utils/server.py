@@ -35,17 +35,62 @@ import time
 from collections import deque
 
 
-def process_query_lines(lines, *, backend: str, lenient: bool,
-                        json_out: bool, mesh):
-    """One serve chunk: query lines -> aligned reply lines.
+class PendingReplies:
+    """One in-flight serve chunk: parse errors already resolved, device
+    batches dispatched (uploads + programs enqueued), replies completed by
+    `finish()`.  The serve loops keep draining client I/O while the device
+    computes, polling `ready()`."""
 
-    Returns (outputs, n_queries, seconds): `outputs[j]` is the reply for
-    `lines[j]` (None for blank lines, which get no reply).  Shared by the
-    stdin serve loop and the TCP server so both speak byte-identical
-    protocol from one implementation.
-    """
+    __slots__ = ("_outputs", "_queries", "_slots", "_handles", "_finish",
+                 "_t0", "_json")
+
+    def __init__(self, outputs, queries, slots, handles, finish_fn,
+                 t0: float, json_out: bool):
+        self._outputs = outputs
+        self._queries = queries
+        self._slots = slots
+        self._handles = handles
+        self._finish = finish_fn
+        self._t0 = t0
+        self._json = json_out
+
+    def ready(self) -> bool:
+        """True once every in-flight device output is materialized (a local
+        future check, not a device RPC); chunks with no device work are
+        immediately ready.  Host-engine buckets run inside finish()."""
+        try:
+            return all(h.is_ready() for h in self._handles)
+        except Exception:  # noqa: BLE001 - treat unpollable as ready;
+            return True    # finish() blocks (and degrades) correctly anyway
+
+    def finish(self):
+        """Complete the chunk -> (outputs, n_queries, seconds); blocks until
+        device results land, then formats replies in input order."""
+        results = self._finish()
+        dt = time.perf_counter() - self._t0
+        for j, q, res in zip(self._slots, self._queries, results):
+            if self._json:
+                from psa_tpu.utils.cli import _result_json
+
+                self._outputs[j] = _result_json(q, res)
+            elif res is None:
+                bad = float("-inf") if q.is_max else float("inf")
+                self._outputs[j] = "-1 %g %s" % (bad, q.seq2)
+            else:
+                self._outputs[j] = "%d %g %s" % (res.offset, res.score,
+                                                 res.mutant(q.seq2))
+        return self._outputs, len(self._queries), dt
+
+
+def dispatch_query_lines(lines, *, backend: str, lenient: bool,
+                         json_out: bool, mesh) -> PendingReplies:
+    """Async front half of one serve chunk: parse + validate every line,
+    dispatch the device buckets (models/batch.search_batch_async), return
+    a PendingReplies whose finish() yields the aligned reply lines.
+    `outputs[j]` is the reply for `lines[j]` (None for blank lines, which
+    get no reply)."""
     from psa_tpu.core.alphabet import ensure_valid
-    from psa_tpu.models.batch import search_batch
+    from psa_tpu.models.batch import search_batch_async
     from psa_tpu.utils.io import parse_input
 
     outputs: list = [None] * len(lines)
@@ -63,21 +108,24 @@ def process_query_lines(lines, *, backend: str, lenient: bool,
         queries.append(q)
         slots.append(j)
     t0 = time.perf_counter()
-    results = (search_batch(queries, backend=backend, strict_alphabet=False,
-                            mesh=mesh) if queries else [])
-    dt = time.perf_counter() - t0
-    for j, q, res in zip(slots, queries, results):
-        if json_out:
-            from psa_tpu.utils.cli import _result_json
+    if queries:
+        handles, finish_fn = search_batch_async(
+            queries, backend=backend, strict_alphabet=False, mesh=mesh)
+    else:
+        handles, finish_fn = [], (lambda: [])
+    return PendingReplies(outputs, queries, slots, handles, finish_fn, t0,
+                          json_out)
 
-            outputs[j] = _result_json(q, res)
-        elif res is None:
-            bad = float("-inf") if q.is_max else float("inf")
-            outputs[j] = "-1 %g %s" % (bad, q.seq2)
-        else:
-            outputs[j] = "%d %g %s" % (res.offset, res.score,
-                                       res.mutant(q.seq2))
-    return outputs, len(queries), dt
+
+def process_query_lines(lines, *, backend: str, lenient: bool,
+                        json_out: bool, mesh):
+    """One synchronous serve chunk: query lines -> aligned reply lines.
+
+    Returns (outputs, n_queries, seconds).  Shared by the stdin serve loop
+    and the TCP server so both speak byte-identical protocol from one
+    implementation (dispatch_query_lines + finish)."""
+    return dispatch_query_lines(lines, backend=backend, lenient=lenient,
+                                json_out=json_out, mesh=mesh).finish()
 
 
 def _error_json(msg: str) -> str:
@@ -135,6 +183,14 @@ class TCPQueryServer:
     # retries select after the handler runs, so a plain blocking select
     # would absorb the wakeup)
     _IDLE_TICK = 0.25
+    # selector timeout while a batch is in flight on the device: the loop
+    # keeps draining sockets and polls PendingReplies.ready() between
+    # selects, so this bounds added reply latency, not throughput
+    _POLL_TICK = 0.002
+    # dispatched-but-unfinished batches (device pipeline depth at the
+    # server level): 2 lets the (RPC-expensive) fetch of batch i overlap
+    # device compute of batch i+1
+    _MAX_INFLIGHT = 2
 
     def __init__(self, host: str, port: int, *, backend: str, lenient: bool,
                  json_out: bool, mesh, max_batch: int, quiet: bool):
@@ -147,6 +203,7 @@ class TCPQueryServer:
         self._quiet = quiet
         self._stop = False
         self._served = 0
+        self._inflight: deque = deque()   # (batch, PendingReplies) FIFO
         self.bound_addr: tuple | None = None
 
     def request_stop(self, *_a) -> None:
@@ -179,25 +236,41 @@ class TCPQueryServer:
         fifo: deque = deque()       # (conn, line) across every connection
         try:
             while not self._stop:
-                # pending work -> zero timeout (drain whatever is already
-                # readable); idle -> short tick for signals
+                # in-flight device batch -> short poll tick (keep draining
+                # sockets while the device computes); pending lines -> zero
+                # timeout; idle -> short tick for signals
                 n0 = len(fifo)
-                events = sel.select(0 if fifo else self._IDLE_TICK)
+                if fifo:
+                    timeout = 0
+                elif self._inflight:
+                    timeout = self._POLL_TICK
+                else:
+                    timeout = self._IDLE_TICK
+                events = sel.select(timeout)
                 for key, mask in events:
                     if key.data is None:
                         self._accept(sel, lsock)
                     else:
                         self._handle(sel, key.data, mask, fifo)
+                # route replies for any batch the device has finished (FIFO
+                # order; ready() is a local check, the fetch happens in
+                # finish())
+                while self._inflight and self._inflight[0][1].ready():
+                    self._finish_oldest(sel, fifo)
                 # dispatch only a FULL batch, or a partial one once input is
                 # quiescent (no new line arrived this pass) — the socket
                 # analog of the pipe reader's drain phase.  Without this,
                 # one recv per connection per pass yields small odd-sized
                 # dispatches, each paying a device round trip (and, for a
                 # new padded size, a compile).
-                if fifo and (len(fifo) >= self._max_batch
-                             or len(fifo) == n0):
+                if (fifo and len(self._inflight) < self._MAX_INFLIGHT
+                        and (len(fifo) >= self._max_batch
+                             or len(fifo) == n0)):
                     self._dispatch(sel, fifo)
-            # clean stop: drop unprocessed lines, flush what was answered
+            # clean stop: finish in-flight batches, drop unprocessed lines,
+            # flush what was answered
+            while self._inflight:
+                self._finish_oldest(sel, fifo)
             self._drain_outboxes(sel)
         finally:
             signal.signal(signal.SIGINT, old_int)
@@ -248,9 +321,10 @@ class TCPQueryServer:
     def _handle(self, sel, conn: _Conn, mask: int, fifo: deque) -> None:
         if mask & selectors.EVENT_READ and not conn.read_eof:
             # drain the socket until it would block (or this connection
-            # alone can fill a batch — per-client backpressure: the rest
-            # stays in the kernel buffer until its lines are dispatched)
-            while conn.npending < self._max_batch:
+            # alone can fill the dispatch pipeline plus the next batch —
+            # per-client backpressure: the rest stays in the kernel buffer
+            # until its lines are routed)
+            while conn.npending < self._max_batch * (self._MAX_INFLIGHT + 1):
                 try:
                     data = conn.sock.recv(1 << 16)
                 except BlockingIOError:
@@ -309,14 +383,22 @@ class TCPQueryServer:
             conn.npending = 0
 
     def _dispatch(self, sel, fifo: deque) -> None:
-        """Take up to max_batch lines (FIFO across clients), run ONE batched
-        search, route replies to each client's outbox."""
+        """Take up to max_batch lines (FIFO across clients), dispatch ONE
+        batched search asynchronously; replies route when the device batch
+        lands (_finish_oldest) — the event loop keeps draining sockets in
+        the meantime."""
         take = min(len(fifo), self._max_batch)
         batch = [fifo.popleft() for _ in range(take)]
         lines = [ln for _, ln in batch]
-        outputs, nq, dt = process_query_lines(
+        pending = dispatch_query_lines(
             lines, backend=self._backend, lenient=self._lenient,
             json_out=self._json, mesh=self._mesh)
+        self._inflight.append((batch, pending))
+
+    def _finish_oldest(self, sel, fifo: deque) -> None:
+        """Fetch + route the oldest in-flight batch's replies."""
+        batch, pending = self._inflight.popleft()
+        outputs, nq, dt = pending.finish()
         nconns = len({id(c) for c, _ in batch})
         for (conn, _), out in zip(batch, outputs):
             conn.npending = max(0, conn.npending - 1)

@@ -380,38 +380,6 @@ def test_batched_kernel_streaming_matches_resident():
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("resident", [True, False])
-def test_batched_kernel_qpp_matches_qpp1(resident):
-    """Multi-query-per-program (qpp>1) must be a pure scheduling change:
-    bit-identical to qpp=1, including a qpp that does not divide B evenly
-    (clamped) and multi-tile grids."""
-    import jax.numpy as jnp
-
-    from psa_tpu.ops.pallas_sweep import _sweep_pallas_batched, pick_chunk
-
-    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
-    rng = np.random.default_rng(23)
-    B, n1, n2 = 6, 2300, 200
-    l2p, noff_pad = 256, 2048
-    l1k = noff_pad + l2p
-    c1b = np.stack([pad_codes(random_codes(rng, n1), l1k) for _ in range(B)])
-    c2b = np.stack([pad_codes(random_codes(rng, n2), l2p) for _ in range(B)])
-    code_tab = jnp.asarray(tables.code)
-    chunk = pick_chunk(l2p)
-    nck = l2p // chunk
-    pc = code_tab.astype(jnp.int8)[:, jnp.asarray(c2b)]
-    pc_all = (pc.transpose(1, 0, 2).reshape(B, 32, nck, chunk)
-              .transpose(0, 2, 1, 3)[:, :, :, ::-1])
-    s1c = jnp.broadcast_to(
-        jnp.asarray(c1b).reshape(1, -1).astype(jnp.int8), (4, B * l1k))
-    base = np.asarray(_sweep_pallas_batched(s1c, pc_all, B, noff_pad, l2p,
-                                            True, 1024, resident, qpp=1))
-    for qpp in (2, 3, 4):   # 4 does not divide 6 -> clamps to 3
-        got = np.asarray(_sweep_pallas_batched(s1c, pc_all, B, noff_pad, l2p,
-                                               True, 1024, resident, qpp=qpp))
-        np.testing.assert_array_equal(got, base, err_msg=f"qpp={qpp}")
-
-
 def test_search_batch_device_failure_degrades_to_host(monkeypatch, capsys):
     """A device/tunnel failure on a bucket must degrade to the host engine
     (correct results + warning), not fail the whole batch."""
