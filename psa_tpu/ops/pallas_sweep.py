@@ -533,10 +533,12 @@ def maxrank_from_maxcode(maxcode):
     return jnp.maximum(((maxcode - 1) >> 2) - 1, -1)
 
 
-def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
-                       code_tab: jnp.ndarray, per_shard: int, l2p: int,
-                       interpret: bool | None = None):
-    """Shard-local sweep for shard_map bodies -> (per_shard, 5) int32.
+def local_stats_rows_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
+                            code_tab: jnp.ndarray, per_shard: int, l2p: int,
+                            interpret: bool | None = None):
+    """Shard-local sweep for shard_map bodies -> (5, per_shard) int32 in the
+    TPU-friendly rows layout (offset axis minor; rows 0-3 class counts,
+    row 4 maxrank).
 
     c1_local: (per_shard + l2p,) int32 codes; c2p: (l2p,) int32 codes.
     per_shard must be a multiple of 512; l2p a multiple of CHUNK.
@@ -548,7 +550,15 @@ def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
     pc = code_tab.astype(jnp.int8)[:, c2p]
     out = _sweep_pallas(s1oh_t, pc, per_shard, l2p // CHUNK, bool(interpret))
     maxrank = maxrank_from_maxcode(out[4:5, :])
-    return jnp.concatenate([out[:4, :], maxrank], axis=0).T
+    return jnp.concatenate([out[:4, :], maxrank], axis=0)
+
+
+def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
+                       code_tab: jnp.ndarray, per_shard: int, l2p: int,
+                       interpret: bool | None = None):
+    """Stats-minor wrapper over `local_stats_rows_pallas` -> (per_shard, 5)."""
+    return local_stats_rows_pallas(c1_local, c2p, code_tab, per_shard, l2p,
+                                   interpret).T
 
 
 def plan_shapes(n1: int, n2: int):

@@ -137,10 +137,124 @@ def pad_for_mesh(codes1: np.ndarray, codes2: np.ndarray, n_shards: int,
     return pad_codes(codes1, l1p), pad_codes(codes2, l2p), noff
 
 
+def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
+                         l1p: int, l2p: int, kernel: str = "auto",
+                         k: int | None = None):
+    """Build (and cache) the jitted sharded sweep WITH the in-graph
+    checkable-exact top-k epilogue: each shard sweeps its offset block and
+    reduces it to k candidate offsets with exact integer stats, so only
+    (n_shards, 6k+2) ints ever leave the devices — the sharded analog of
+    the reference GPU driver copying only the winner back
+    (cuda_funcs.cu:106-119).  Returns fn(c1p, c2p, noff) -> packed rows
+    (one per shard, global offsets; models/batch.unpack_epilogue_outputs)."""
+    from psa_tpu.models.batch import (TOPK, exact_topk_epilogue_rows,
+                                      pack_epilogue_outputs)
+
+    if k is None:
+        k = TOPK
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    key = ("topk", tuple(tables.weights.tolist()), tables.is_max, kernel,
+           l1p, l2p, k, axis, tuple(d.id for d in mesh.devices.flat))
+    cached = _SHARDED_FNS.get(key)
+    if cached is not None:
+        return cached
+
+    from psa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    noff_pad = l1p - l2p
+    assert noff_pad % (n_shards * 512) == 0, "pad offsets to n_shards*512"
+    per_shard = noff_pad // n_shards
+    code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
+    code_tab = jnp.asarray(tables.code)
+
+    def body(c1, c2, noff):
+        s = jax.lax.axis_index(axis)
+        o0 = s * per_shard
+        c1_local = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
+        if kernel == "pallas":
+            from psa_tpu.ops.pallas_sweep import local_stats_rows_pallas
+
+            stats5 = local_stats_rows_pallas(c1_local, c2, code_tab,
+                                             per_shard, l2p)
+        else:
+            stats5 = _local_stats_jnp(c1_local, c2, code_flat, per_shard).T
+        # shard-local valid offset count; the epilogue masks the rest
+        noff_local = jnp.clip(noff[0] - o0, 0, per_shard)
+        topi, stats_k, near, best = exact_topk_epilogue_rows(
+            stats5, tables, noff_local, l2p, k)
+        # report GLOBAL offsets so the host merge needs no shard arithmetic
+        return pack_epilogue_outputs((topi + o0)[None], stats_k[None],
+                                     near[None], best[None])
+
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ), in_shardings=(repl, repl, repl))
+    _SHARDED_FNS[key] = fn
+    return fn
+
+
+def _select_from_shard_topk(buf: np.ndarray, noff: int, l2p: int,
+                            tables: ScoringTables, codes1, codes2, k: int):
+    """Exact host selection from per-shard top-k candidate rows.
+
+    Returns a SearchResult, or None when the f32 ranking was insufficient
+    for some contributing shard (near > k inside the global band) — the
+    caller falls back to the full-stats path.  Raises NoMutationFound when
+    no shard found any legal substitution."""
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.models.batch import f32_band_epsilon, unpack_epilogue_outputs
+    from psa_tpu.ops.select import (candidate_epsilon, pick_from_candidates,
+                                    totals_from_stats)
+
+    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+    if np.all(np.isneginf(best)):
+        raise NoMutationFound("no offset admits a legal substitution")
+    bg = best.max()                       # global keyed f32 best
+    eps32 = f32_band_epsilon(tables, l2p)
+    # checkability: every offset within the f32 band of the GLOBAL best must
+    # appear in its shard's top-k.  A shard whose own band population
+    # exceeded k can only hide such an offset if its local best reaches the
+    # global band.
+    if np.any((near > k) & (best >= bg - eps32)):
+        return None
+    offs = topi.reshape(-1).astype(np.int64)
+    st = np.swapaxes(stats_k, 1, 2).reshape(-1, 5)      # (S*k, 5)
+    keep = (offs < noff) & (st[:, 4] >= 0)
+    offs, st = offs[keep], st[keep]
+    if offs.size == 0:
+        raise NoMutationFound("no offset admits a legal substitution")
+    totals = totals_from_stats(st[:, :4], st[:, 4], tables)
+    bq = totals.max() if tables.is_max else totals.min()
+    cand = offs[np.abs(totals - bq) <= candidate_epsilon(
+        tables, int(codes2.shape[0]))]
+    # ascending order = the canonical lowest-offset tie-break (shards own
+    # disjoint blocks, so there are no duplicates)
+    return pick_from_candidates(np.asarray(codes1, np.int32),
+                                np.asarray(codes2, np.int32), tables,
+                                np.sort(cand))
+
+
 def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
                    tables: ScoringTables, mesh: Mesh | None = None,
                    kernel: str = "auto"):
-    """End-to-end sharded search -> SearchResult (exact host selection)."""
+    """End-to-end sharded search -> SearchResult (exact host selection).
+
+    The hot path reduces each shard to its top-k exact candidates in-graph
+    (make_sharded_topk_fn) so the host fetch is ~(6k+2) ints per shard, not
+    the full (noff, 5) stats; the provably-rare case where f32 ranking
+    cannot certify the winner (>k near-ties inside a contributing shard)
+    falls back to the full-stats fetch + unrestricted exact selection."""
+    from psa_tpu.core.result import NoMutationFound
+    from psa_tpu.models.batch import TOPK
     from psa_tpu.ops.select import select_best
 
     if mesh is None:
@@ -150,16 +264,27 @@ def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
     # pass host numpy (uncommitted) so the jit's replicated in_shardings can
     # place full copies per process — a committed single-device array cannot
     # be resharded across processes
-    stats = sharded_offset_stats(c1p, c2p, tables, mesh, kernel=kernel)
+    fn = make_sharded_topk_fn(tables, mesh, c1p.shape[0], c2p.shape[0],
+                              kernel=kernel)
+    buf = fn(c1p, c2p, np.array([noff], np.int32))
     if jax.process_count() > 1:
         # multi-host: each process holds only its shards; gather over DCN
+        from jax.experimental import multihost_utils
+
+        buf = multihost_utils.process_allgather(buf, tiled=True)
+    res = _select_from_shard_topk(np.asarray(buf), noff, c2p.shape[0],
+                                  tables, codes1, codes2, TOPK)
+    if res is not None:
+        return res
+    stats = sharded_offset_stats(c1p, c2p, tables, mesh, kernel=kernel)
+    if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         stats = multihost_utils.process_allgather(stats, tiled=True)
     stats = np.asarray(stats)
     return select_best(stats[:, :4], stats[:, 4], tables,
-                       np.asarray(codes1, np.int32), np.asarray(codes2, np.int32),
-                       noff=noff)
+                       np.asarray(codes1, np.int32),
+                       np.asarray(codes2, np.int32), noff=noff)
 
 
 def device_reduce_winner(stats: jnp.ndarray, tables: ScoringTables, noff: int):

@@ -80,3 +80,30 @@ def test_sharded_pallas_kernel(tables_min):
     got = search_sharded(c1, c2, tables_min, mesh, kernel="pallas")
     ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
     assert got == ref
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_massive_tie_falls_back_exactly(n_dev, tables_min):
+    """>k offsets tie exactly in every shard: the in-graph top-k epilogue
+    cannot certify the winner, so search_sharded must take the full-stats
+    fallback and still return the canonical lowest-offset winner."""
+    c1 = np.zeros(4000, np.int32)   # all 'A': every offset ties exactly
+    c2 = np.zeros(600, np.int32)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    got = search_sharded(c1, c2, tables_min, mesh)
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
+                                backend="numpy").search_codes(c1, c2)
+    assert got == ref
+    assert got.offset == 0          # is_swapable: lowest offset on ties
+
+
+def test_sharded_no_mutation_raises():
+    """Out-of-range chars everywhere (lenient input): no shard finds a
+    legal substitution -> NoMutationFound through the top-k merge."""
+    from psa_tpu.core.result import NoMutationFound
+
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), True)
+    c1 = np.full(3000, 27, np.int32)
+    c2 = np.full(300, 27, np.int32)
+    with pytest.raises(NoMutationFound):
+        search_sharded(c1, c2, t, make_mesh())
