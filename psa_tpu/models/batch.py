@@ -790,7 +790,7 @@ def _warn_degrade(e: Exception) -> None:
 def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                        mesh: Mesh | None, defer: bool):
     """Shared body of search_batch / search_batch_async -> (handles, finish)."""
-    from psa_tpu.core.alphabet import encode, pad_codes, validate
+    from psa_tpu.core.alphabet import encode_batch_padded, validate
     from psa_tpu.core.tables import build_tables
     from psa_tpu.ops.pallas_sweep import plan_shapes
 
@@ -830,10 +830,8 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
         device_failed = False
         if use_device:
             tables = build_tables(np.asarray(w), is_max)
-            c1b = np.stack([pad_codes(encode(queries[i].seq1), l1k)
-                            for i in idxs])
-            c2b = np.stack([pad_codes(encode(queries[i].seq2), l2p)
-                            for i in idxs])
+            c1b = encode_batch_padded([queries[i].seq1 for i in idxs], l1k)
+            c2b = encode_batch_padded([queries[i].seq2 for i in idxs], l2p)
             noffs = np.array([len(queries[i].seq1) - len(queries[i].seq2) + 1
                               for i in idxs], np.int32)
             n2s = np.array([len(queries[i].seq2) for i in idxs], np.int32)

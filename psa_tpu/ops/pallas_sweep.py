@@ -72,6 +72,12 @@ CHUNK = 128                    # seq2 padding granularity (min chunk)
 # interpret mode, but at tile 4096 its VMEM footprint is borderline
 # (~16MB core budget); 256 is the measured-on-chip default.
 MAX_CHUNK = 256
+# Peel chunk 0 (write-instead-of-accumulate, deleting the per-tile
+# accumulator zeroing) only below this chunk count: measured +4% at
+# nchunks=2 (serving shapes) but -2.5% at nchunks=256 (the duplicated
+# chunk body costs more than the amortized zeroing saves) — 2026-08-19
+# interleaved A/B, see _sweep_kernel.
+PEEL_MAX_NCHUNKS = 8
 
 # SWAR constants (packed 4x int8 per int32 lane)
 _H = np.int32(-2139062144)     # 0x80808080
@@ -217,8 +223,14 @@ def _plane_max(p, acc_ref):
 
 def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
                                 tile_o: int, chunk: int, macc_ref=None,
-                                with_valid: bool = True):
+                                with_valid: bool = True,
+                                first: bool = False):
     """One chunk's work: MXU contraction, shear, SWAR decode, accumulate.
+
+    first=True (the peeled chunk 0): WRITE the accumulators instead of
+    zero-then-accumulate, deleting the per-query/tile (chunk/4+8, tile)
+    zeroing passes — at serving shapes (nchunks=2) the zeroing is a
+    measurable share of the per-query fixed cost.
 
     NOTE (measured dead end): asking the dot for int8 output to skip the
     int32->int8 cast is rejected by Mosaic ("matmul acc must be 32-bit").
@@ -230,24 +242,33 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
     )                                                 # (C, W) int32
     p = _shear_stride(m.astype(jnp.int8), width, tile_o, chunk)
     # max fused code (monotone in substitution rank): accumulate byte-wise
-    # across chunks on the packed band — 8 elementwise ops, no per-chunk
+    # across chunks on the packed band — 9 elementwise ops, no per-chunk
     # plane unpack or sublane reduction (5.05 -> 4.94 ms); the caller
-    # decodes macc once per tile via _plane_max
-    macc_ref[...] = _swar_bytemax(macc_ref[...], p)
+    # decodes macc once per tile via _plane_max.
+    # (Measured dead end: replacing this with ONE int8 elementwise
+    # jnp.maximum on the byte view fails to compile — Mosaic cannot
+    # legalize arith.maxsi/maxui on vector<i8>, the elementwise sibling of
+    # its unimplemented int8 reductions.  9-op SWAR stands.)
+    if first:
+        macc_ref[...] = p
+    else:
+        macc_ref[...] = _swar_bytemax(macc_ref[...], p)
     # 2-bit class slots per byte: (code & 3) = 1+cls mod 4, so slot
     # value 1 = cls0, 2 = cls1, 3 = cls2, 0 = {cls3, inert}.  Count via
     # raw bit masks: n13 = slots with bit0 (values 1,3), n23 = bit1
-    # (2,3), n3 = both; valid = nonzero bytes; counts on the MXU.
+    # (2,3), n3 = m13 & m23 (both masks are 0/1-per-byte at bit0, so their
+    # AND is the value-3 mask — one op, vs rebuilding p & pb & _B1);
+    # counts on the MXU.
     pb = jax.lax.shift_right_logical(p, 1)
     ones_row = jnp.ones((1, chunk), jnp.int8)
-    n13 = _count_mxu(p & _B1, ones_row)
-    n23 = _count_mxu(pb & _B1, ones_row)
-    n3 = _count_mxu(p & pb & _B1, ones_row)
+    m13 = p & _B1
+    m23 = pb & _B1
+    n13 = _count_mxu(m13, ones_row)
+    n23 = _count_mxu(m23, ones_row)
+    n3 = _count_mxu(m13 & m23, ones_row)
     c0 = n13 - n3                                     # cls0 count
     c1 = n23 - n3                                     # cls1 count
-    acc_ref[0:1, :] += c0
-    acc_ref[1:2, :] += c1
-    acc_ref[2:3, :] += n3                             # cls2 count
+    c3 = None
     if with_valid:
         # valid = nonzero bytes; cls3 = valid - cls0 - cls1 - cls2. Only
         # needed when the input may contain OTHER (out-of-range) chars —
@@ -256,7 +277,21 @@ def _contract_decode_accumulate(pcc, win, acc_ref, *, width: int,
         hit = (p + _L7) & _H                          # bytes <= 126
         hv = jax.lax.shift_right_logical(hit, 7) & _B1
         vv = _count_mxu(hv, ones_row)
-        acc_ref[3:4, :] += vv - c0 - c1 - n3          # cls3 count
+        c3 = vv - c0 - c1 - n3                        # cls3 count
+    if first:
+        acc_ref[0:1, :] = c0
+        acc_ref[1:2, :] = c1
+        acc_ref[2:3, :] = n3                          # cls2 count
+        acc_ref[3:4, :] = c3 if c3 is not None else jnp.zeros_like(c0)
+        # rows 4-7 (maxrank slot + reserved) still need clearing once per
+        # query/tile — (4, T) instead of the old (8 + chunk/4, T) zeroing
+        acc_ref[4:8, :] = jnp.zeros_like(acc_ref[4:8, :])
+    else:
+        acc_ref[0:1, :] += c0
+        acc_ref[1:2, :] += c1
+        acc_ref[2:3, :] += n3                         # cls2 count
+        if c3 is not None:
+            acc_ref[3:4, :] += c3
 
 
 def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
@@ -264,8 +299,6 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
                   with_valid: bool = True):
     o0 = pl.program_id(0) * tile_o
     width = tile_o + chunk
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    macc_ref[...] = jnp.zeros_like(macc_ref)
 
     def body(c, _):
         base = pl.multiple_of(o0 + c * chunk, chunk)
@@ -276,7 +309,23 @@ def _sweep_kernel(pc_ref, s1oh_ref, out_ref, acc_ref, macc_ref, *,
                                     macc_ref=macc_ref, with_valid=with_valid)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    # chunk 0 peeled with first=True: it WRITES the accumulators, deleting
+    # the per-tile (8 + chunk/4, tile) zeroing passes.  Gated on nchunks:
+    # measured (interleaved same-session A/B, 2026-08-19) +4% at nchunks=2
+    # (serving shapes, fixed cost matters) but -2.5% at nchunks=256
+    # (131072x8192: 3.27 -> 3.35 ms — the duplicated chunk body outside the
+    # fori_loop costs more than the amortized-to-nothing zeroing saves).
+    if nchunks <= PEEL_MAX_NCHUNKS:
+        _contract_decode_accumulate(
+            pc_ref[0], s1oh_ref[:, pl.ds(pl.multiple_of(o0, chunk), width)],
+            acc_ref, width=width, tile_o=tile_o, chunk=chunk,
+            macc_ref=macc_ref, with_valid=with_valid, first=True)
+        lo = 1
+    else:
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        macc_ref[...] = jnp.zeros_like(macc_ref)
+        lo = 0
+    jax.lax.fori_loop(lo, nchunks, body, 0)
     _plane_max(macc_ref[...], acc_ref)
     out_ref[...] = acc_ref[...]
 
@@ -345,8 +394,6 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
     o0 = pl.program_id(1) * tile_o
     width = tile_o + chunk
     q = pl.program_id(0)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    macc_ref[...] = jnp.zeros_like(macc_ref)
 
     if resident:
         span = tile_o + nchunks * chunk
@@ -369,7 +416,22 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
                                         chunk=chunk, macc_ref=macc_ref)
             return 0
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+        # chunk 0 peeled with first=True: writes the accumulators, deleting
+        # the per-query (8 + chunk/4, tile) zeroing — measured +4% at
+        # serving shapes (nchunks=2: 6.99 -> 6.69 us/query interleaved) but
+        # a ~2.5% loss at large nchunks (see _sweep_kernel), hence the gate
+        if nchunks <= PEEL_MAX_NCHUNKS:
+            _contract_decode_accumulate(pcq_ref[0],
+                                        oh_ref[:, pl.ds(0, width)],
+                                        acc_ref, width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref,
+                                        first=True)
+            lo = 1
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            macc_ref[...] = jnp.zeros_like(macc_ref)
+            lo = 0
+        jax.lax.fori_loop(lo, nchunks, body, 0)
     else:
         def dmas(c, slot):
             base = pl.multiple_of(q * l1q + o0 + c * chunk, chunk)
@@ -384,6 +446,10 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
             d.start()
         iota = jax.lax.broadcasted_iota(jnp.int32, (32, width), 0)
 
+        def expand(slot):
+            row = cscr_ref[slot, 0:1, :].astype(jnp.int32)
+            return (iota == row).astype(jnp.int8)
+
         def body(c, _):
             slot = jax.lax.rem(c, 2)
             nxt = jax.lax.rem(c + 1, 2)
@@ -395,14 +461,30 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
 
             for d in dmas(c, slot):
                 d.wait()
-            row = cscr_ref[slot, 0:1, :].astype(jnp.int32)
-            win = (iota == row).astype(jnp.int8)
-            _contract_decode_accumulate(pcq_ref[slot], win, acc_ref,
+            _contract_decode_accumulate(pcq_ref[slot], expand(slot), acc_ref,
                                         width=width, tile_o=tile_o,
                                         chunk=chunk, macc_ref=macc_ref)
             return 0
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+        # peeled chunk 0 (first=True), mirroring the loop body's prefetch;
+        # same nchunks gate as the resident branch (streaming shapes are
+        # large-nchunks by construction, so this normally takes the else)
+        if nchunks <= PEEL_MAX_NCHUNKS:
+            if nchunks > 1:
+                for d in dmas(1, 1):
+                    d.start()
+            for d in dmas(0, 0):
+                d.wait()
+            _contract_decode_accumulate(pcq_ref[0], expand(0), acc_ref,
+                                        width=width, tile_o=tile_o,
+                                        chunk=chunk, macc_ref=macc_ref,
+                                        first=True)
+            lo = 1
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            macc_ref[...] = jnp.zeros_like(macc_ref)
+            lo = 0
+        jax.lax.fori_loop(lo, nchunks, body, 0)
     _plane_max(macc_ref[...], acc_ref)
     out_ref[0] = acc_ref[...]
 
@@ -490,6 +572,7 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel, nchunks=nck, tile_o=tile_o,
                                chunk=chunk, with_valid=with_valid)
+    macc_scratch = pltpu.VMEM((chunk // 4, tile_o), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -502,7 +585,7 @@ def _sweep_pallas(s1oh_t, pc, noff_pad: int, nchunks: int, interpret: bool,
         out_shape=jax.ShapeDtypeStruct((8, noff_pad), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((8, tile_o), jnp.int32),
-            pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
+            macc_scratch,                                  # packed max acc
         ],
         interpret=interpret,
         **_compiler_params(tile_o),

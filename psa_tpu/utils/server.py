@@ -236,13 +236,16 @@ class TCPQueryServer:
         fifo: deque = deque()       # (conn, line) across every connection
         try:
             while not self._stop:
-                # in-flight device batch -> short poll tick (keep draining
-                # sockets while the device computes); pending lines -> zero
-                # timeout; idle -> short tick for signals
+                # zero timeout ONLY when a dispatch can actually happen this
+                # pass; a full pipeline waits on the poll tick instead — a
+                # 0-timeout spin would hog the GIL and starve the device
+                # client's own I/O threads (measured: TCP throughput 4x
+                # worse than the pipe loop until this rule)
                 n0 = len(fifo)
-                if fifo:
+                can_dispatch = len(self._inflight) < self._MAX_INFLIGHT
+                if fifo and can_dispatch:
                     timeout = 0
-                elif self._inflight:
+                elif fifo or self._inflight:
                     timeout = self._POLL_TICK
                 else:
                     timeout = self._IDLE_TICK
@@ -252,10 +255,16 @@ class TCPQueryServer:
                         self._accept(sel, lsock)
                     else:
                         self._handle(sel, key.data, mask, fifo)
-                # route replies for any batch the device has finished (FIFO
-                # order; ready() is a local check, the fetch happens in
-                # finish())
+                # route replies: batches the device already finished
+                # (ready() is a local future check); when the pipeline is
+                # full AND a full next batch waits, block on the oldest
+                # fetch outright — nothing else productive can happen and
+                # the fetch overlaps the newer batch's compute
                 while self._inflight and self._inflight[0][1].ready():
+                    self._finish_oldest(sel, fifo)
+                if (self._inflight
+                        and len(self._inflight) >= self._MAX_INFLIGHT
+                        and len(fifo) >= self._max_batch):
                     self._finish_oldest(sel, fifo)
                 # dispatch only a FULL batch, or a partial one once input is
                 # quiescent (no new line arrived this pass) — the socket

@@ -111,3 +111,29 @@ def test_golden_through_engine(engine, golden_query, golden_expected):
     res = eng.search(golden_query.seq1, golden_query.seq2)
     got = format_output(res.mutant(golden_query.seq2), res.offset, res.score)
     assert got == golden_expected
+
+
+def test_pallas_decode_matches_oracle_multi_tile():
+    """The mask-decode rewrite (n3 = m13 & m23) must stay bit-identical to
+    the oracle across multiple chunks and tiles (interpret mode)."""
+    import jax.numpy as jnp
+
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.ops.pallas_sweep import (CHUNK, _prepare, _sweep_pallas,
+                                          maxrank_from_maxcode)
+
+    from conftest import random_codes
+
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    rng = np.random.default_rng(37)
+    c1 = random_codes(rng, 3000)
+    c2 = random_codes(rng, 700)
+    noff_pad, l2p = 2560, 768
+    noff = 3000 - 700 + 1
+    a, b = _prepare(jnp.asarray(c1), jnp.asarray(c2),
+                    jnp.asarray(tables.code), noff_pad + l2p, l2p)
+    out = np.asarray(_sweep_pallas(a, b, noff_pad, l2p // CHUNK, True, 512))
+    rc, rm = offset_stats_numpy(c1, c2, tables)
+    np.testing.assert_array_equal(out[:4, :noff].T, rc)
+    np.testing.assert_array_equal(maxrank_from_maxcode(out[4, :noff]), rm)
