@@ -30,6 +30,13 @@ import time
 
 import numpy as np
 
+_VIRTUAL_NOTE = (
+    "VIRTUAL MESH: N XLA host devices share this machine's CPU cores, so "
+    "the efficiency column measures core contention, NOT real multi-chip "
+    "scaling. It validates that the sharded program compiles and produces "
+    "identical results at every mesh size; throughput/efficiency claims "
+    "require real chips (shards are independent; the merge is O(k) ints).")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -134,6 +141,7 @@ def main():
         "metric": "offset_sharding_scaling",
         "platform": platform,
         "virtual_mesh": platform == "cpu",
+        **({"note": _VIRTUAL_NOTE} if platform == "cpu" else {}),
         "workload": {"n1": n1, "n2": n2},
         "results": results,
     }))
@@ -210,6 +218,7 @@ def serve_ladder(args, sizes) -> int:
         "metric": "serve_sharding_scaling",
         "platform": platform,
         "virtual_mesh": platform == "cpu",
+        **({"note": _VIRTUAL_NOTE} if platform == "cpu" else {}),
         "workload": {"batch": B, "n1": n1, "n2": n2},
         "results": results,
     }))

@@ -13,6 +13,11 @@ Backends (all share the same output contract — see ops/select.py):
 * ``pallas`` — hand-written TPU kernel (ops/pallas_sweep.py); the hot path.
 * ``native`` — C++/OpenMP host engine (native/), the reference-semantics
                oracle at native speed.
+* ``hybrid`` — concurrent host+device split of ONE query: the accelerator
+               takes the first ``device_share``% of offsets, the C++/OpenMP
+               engine the rest in parallel, winners merged under the
+               canonical tie-break — the literal analog of the reference's
+               cuda_percentage split (cpu_funcs.c:144-150).
 * ``auto``   — workload-aware: small sweeps run on the native host engine
                (never touching XLA), large ones on pallas (TPU) / conv
                (elsewhere) — the reference's CPU/GPU crossover heuristic
@@ -31,7 +36,7 @@ from psa_tpu.core.result import SearchResult
 from psa_tpu.core.tables import ScoringTables, build_tables
 from psa_tpu.ops.select import select_best
 
-_BACKENDS = ("auto", "numpy", "xla", "conv", "pallas", "native")
+_BACKENDS = ("auto", "numpy", "xla", "conv", "pallas", "native", "hybrid")
 
 _native_ok: bool | None = None
 
@@ -87,7 +92,7 @@ class AlignmentSearchEngine:
 
     def __init__(self, weights: Sequence[float], is_max: bool,
                  backend: str | None = None, strict_alphabet: bool = True,
-                 nthreads: int = 0):
+                 nthreads: int = 0, device_share: float | None = None):
         if backend is None:
             from psa_tpu.config import CONFIG
 
@@ -100,6 +105,10 @@ class AlignmentSearchEngine:
         # native-engine thread count; 0 = all cores, 1 = the reference's
         # sequential oracle mode (`make runseq`, SURVEY.md §3.5)
         self.nthreads = nthreads
+        # hybrid backend: percentage of offsets the accelerator takes
+        # (main.c:30-42 cuda_percentage); None = the reference's auto
+        # heuristic (all-device above the workload crossover, else all-host)
+        self.device_share = device_share
 
     def _resolve_backend(self, codes1: np.ndarray | None = None,
                          codes2: np.ndarray | None = None) -> str:
@@ -149,40 +158,127 @@ class AlignmentSearchEngine:
             return search_native(codes1, codes2, self.tables,
                                  nthreads=self.nthreads)
         if backend == "pallas":
-            # Every device-path query runs the checkable-exact top-k
-            # epilogue ON DEVICE: one packed upload, one ~800-byte fetch,
-            # host selection over <= k candidates — matching the reference
-            # GPU driver's copy-only-the-winner-back discipline
-            # (cuda_funcs.cu:106-119).  Fetching the full (noff, 5) stats
-            # instead cost ~9x the sweep time on the 100k x 10k north star
-            # (one multi-MB tunnel RPC + a host scan over 90k offsets).
-            from psa_tpu.core.alphabet import pad_codes
-            from psa_tpu.core.result import NoMutationFound
-            from psa_tpu.models.batch import batched_search_exact
-            from psa_tpu.ops.pallas_sweep import MAX_L1_VMEM, plan_shapes
-            from psa_tpu.utils.cache import enable_compilation_cache
-
-            noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0],
-                                                   codes2.shape[0])
-            enable_compilation_cache()
-            # Resident-size Seq1 keeps the faster VMEM-resident one-hot
-            # sweep (fused=False -> the scan runner over _sweep_pallas);
-            # oversized Seq1 streams raw codes from HBM via the batched
-            # kernel (fused=True), so Seq1 is HBM-bounded.
-            res = batched_search_exact(
-                pad_codes(codes1, l1k)[None, :],
-                pad_codes(codes2, l2p)[None, :],
-                np.array([noff], np.int32),
-                np.array([codes2.shape[0]], np.int32),
-                self.tables, fused=(l1k > MAX_L1_VMEM))[0]
-            if res is None:
-                raise NoMutationFound(
-                    "no offset admits a legal substitution")
-            return res
+            return self._device_exact(codes1, codes2)
+        if backend == "hybrid":
+            return self._search_hybrid(codes1, codes2)
         counts, maxrank = self.offset_stats(codes1, codes2)
         noff = codes1.shape[0] - codes2.shape[0] + 1
         return select_best(np.asarray(counts), np.asarray(maxrank),
                            self.tables, codes1, codes2, noff=noff)
+
+    def _device_exact(self, codes1: np.ndarray, codes2: np.ndarray,
+                      noff_limit: int | None = None) -> SearchResult:
+        """Device search via the checkable-exact top-k epilogue.
+
+        Every device-path query runs the epilogue ON DEVICE: one packed
+        upload, one ~800-byte fetch, host selection over <= k candidates —
+        matching the reference GPU driver's copy-only-the-winner-back
+        discipline (cuda_funcs.cu:106-119).  Fetching the full (noff, 5)
+        stats instead cost ~9x the sweep time on the 100k x 10k north star
+        (one multi-MB tunnel RPC + a host scan over 90k offsets).
+
+        noff_limit restricts the search to offsets [0, noff_limit) — the
+        epilogue masks the rest in-graph (the hybrid backend's device block,
+        cpu_funcs.c:144-147 analog).
+        """
+        from psa_tpu.core.alphabet import pad_codes
+        from psa_tpu.core.result import NoMutationFound
+        from psa_tpu.models.batch import batched_search_exact
+        from psa_tpu.ops.pallas_sweep import MAX_L1_VMEM, plan_shapes
+        from psa_tpu.utils.cache import enable_compilation_cache
+
+        noff, noff_pad, l2p, l1k = plan_shapes(codes1.shape[0],
+                                               codes2.shape[0])
+        if noff_limit is not None:
+            noff = min(noff, noff_limit)
+        enable_compilation_cache()
+        # Resident-size Seq1 keeps the faster VMEM-resident one-hot
+        # sweep (fused=False -> the scan runner over _sweep_pallas);
+        # oversized Seq1 streams raw codes from HBM via the batched
+        # kernel (fused=True), so Seq1 is HBM-bounded.
+        res = batched_search_exact(
+            pad_codes(codes1, l1k)[None, :],
+            pad_codes(codes2, l2p)[None, :],
+            np.array([noff], np.int32),
+            np.array([codes2.shape[0]], np.int32),
+            self.tables, fused=(l1k > MAX_L1_VMEM))[0]
+        if res is None:
+            raise NoMutationFound(
+                "no offset admits a legal substitution")
+        return res
+
+    def _search_hybrid(self, codes1: np.ndarray, codes2: np.ndarray) -> SearchResult:
+        """Concurrent host+device split of ONE query — the literal analog of
+        the reference's cuda_percentage split (cpu_funcs.c:144-150): the
+        accelerator takes the FIRST device_share% of offsets, the C++/OpenMP
+        host engine takes the rest IN PARALLEL (a thread; both the ctypes
+        call and the device fetch release the GIL), and the two winners merge
+        under the canonical tie-break (is_swapable, cuda_funcs.cu:290-307:
+        better score, then lower offset — the device block owns the lower
+        offsets, so it wins exact ties).
+
+        Exactness: both sides produce sequentially re-scored f64 totals
+        (native/psa_native.cpp and ops/select.pick_from_candidates use the
+        same accumulation order), so the merge compares exact values.
+        """
+        import threading
+
+        from psa_tpu.core.result import NoMutationFound
+        from psa_tpu.native import search_native
+
+        noff = codes1.shape[0] - codes2.shape[0] + 1
+        share = self.device_share
+        if share is None:
+            # the reference's auto heuristic shape: all-device above the
+            # workload crossover, all-host below (cpu_funcs.c:137-142)
+            from psa_tpu.config import CONFIG
+
+            share = 100.0 if noff * codes2.shape[0] >= CONFIG.auto_threshold \
+                else 0.0
+        split = min(max(int(round(noff * share / 100.0)), 0), noff)
+        if split < noff and not native_available():
+            raise RuntimeError(
+                "hybrid backend needs the native host engine for its host "
+                "block (g++); use --backend pallas or --device-share 100")
+        if split == 0:
+            return search_native(codes1, codes2, self.tables,
+                                 nthreads=self.nthreads)
+
+        host_out: list = [None, None]          # [result, exception]
+
+        def host_block():
+            try:
+                host_out[0] = search_native(
+                    codes1, codes2, self.tables, nthreads=self.nthreads,
+                    first_offset=split, last_offset=noff)
+            except NoMutationFound:
+                pass
+            except Exception as e:             # re-raised on the main thread
+                host_out[1] = e
+
+        t = None
+        if split < noff:
+            t = threading.Thread(target=host_block, daemon=True)
+            t.start()
+        try:
+            dev = self._device_exact(codes1, codes2, noff_limit=split)
+        except NoMutationFound:
+            dev = None
+        finally:
+            if t is not None:
+                t.join()
+        if host_out[1] is not None:
+            raise host_out[1]
+        host = host_out[0]
+        if dev is None and host is None:
+            raise NoMutationFound("no offset admits a legal substitution")
+        if dev is None:
+            return host
+        if host is None:
+            return dev
+        host_better = (host.score > dev.score if self.tables.is_max
+                       else host.score < dev.score)
+        return host if host_better else dev
 
     def search(self, seq1: str, seq2: str) -> SearchResult:
         if self.strict_alphabet and not (validate(seq1) and validate(seq2)):

@@ -3,9 +3,10 @@
 Replaces the reference's main.c + orchestrator (main.c:13-56,
 cpu_funcs.c:25-121): read input, search, write output, print the wall time.
 The reference's single runtime flag (argv[1] = cuda_percentage,
-main.c:30-42) maps to `--backend`: engine selection is explicit instead of a
-percentage split across heterogeneous devices (a TPU host has one accelerator
-type; SURVEY.md §2 "Parallelism strategy 2").
+main.c:30-42) maps to `--backend` for engine selection, plus
+`--device-share PCT` for its literal semantics: a concurrent host+device
+split of each query's offset range (cpu_funcs.c:144-150), with -100 =
+sequential oracle mode (main.c:33-37).
 """
 
 from __future__ import annotations
@@ -31,8 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default=CONFIG.default_output,
                    help="output file (default ./output.txt)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "numpy", "xla", "conv", "pallas", "native"],
-                   help="compute path (auto = pallas on TPU, conv elsewhere)")
+                   choices=["auto", "numpy", "xla", "conv", "pallas",
+                            "native", "hybrid"],
+                   help="compute path (auto = pallas on TPU, conv elsewhere; "
+                        "hybrid = concurrent host+device offset split)")
+    p.add_argument("--device-share", type=float, default=None, metavar="PCT",
+                   help="the reference's cuda_percentage argv (main.c:30-42): "
+                        "the accelerator takes the FIRST PCT%% of offsets, "
+                        "the C++/OpenMP host engine the rest IN PARALLEL "
+                        "(cpu_funcs.c:144-150); -100 = sequential oracle "
+                        "mode (1 thread, host only). Implies "
+                        "--backend hybrid.")
     p.add_argument("--sharded", action="store_true",
                    help="shard the offset axis over all local devices")
     p.add_argument("--explain", action="store_true",
@@ -107,6 +117,31 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.device_share is not None:
+        if args.device_share == -100:
+            # main.c:33-37: -100 => sequential mode (1 thread, no device)
+            args.backend, args.threads, args.device_share = "native", 1, None
+        elif 0 <= args.device_share <= 100:
+            if args.backend not in ("auto", "hybrid"):
+                print("error: --device-share conflicts with "
+                      f"--backend {args.backend}", file=sys.stderr)
+                return 2
+            if args.batch or args.serve or args.sharded or args.distributed:
+                print("error: --device-share applies to single-query "
+                      "searches only (the reference splits one query, "
+                      "cpu_funcs.c:144-150)", file=sys.stderr)
+                return 2
+            args.backend = "hybrid"
+        else:
+            print("error: --device-share must be in [0, 100] or -100",
+                  file=sys.stderr)
+            return 2
+    if args.backend == "hybrid" and (args.batch or args.serve
+                                     or args.sharded or args.distributed):
+        print("error: the hybrid backend applies to single-query searches "
+              "only", file=sys.stderr)
+        return 2
+
     if args.platform:
         import jax
 
@@ -148,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
     engine = AlignmentSearchEngine(query.weights, query.is_max,
                                    backend=args.backend,
                                    strict_alphabet=not args.lenient,
-                                   nthreads=args.threads)
+                                   nthreads=args.threads,
+                                   device_share=args.device_share)
 
     import contextlib
 
