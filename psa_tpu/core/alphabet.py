@@ -31,6 +31,7 @@ _ENC = np.full(256, OTHER_CODE, dtype=np.int32)
 for _i in range(NUM_LETTERS):
     _ENC[ord("A") + _i] = _i
 _ENC[ord("-")] = HYPHEN_CODE
+_ENC8 = _ENC.astype(np.int8)   # codes fit int8; the device wire format
 
 _DEC = np.array([chr(ord("A") + i) for i in range(NUM_LETTERS)] + ["-", "?", "."])
 
@@ -73,17 +74,39 @@ def validate(seq: str) -> bool:
 
 
 def encode_batch_padded(seqs, length: int) -> np.ndarray:
-    """Encode many sequences into one PAD-padded (len(seqs), length) int32
+    """Encode many sequences into one PAD-padded (len(seqs), length) int8
     array with ONE table gather — per-query encode+pad cost ~115us/query in
-    small-array overhead at serving shapes; this is ~25x cheaper."""
-    buf = np.full((len(seqs), length), PAD_CODE, np.int32)
+    small-array overhead at serving shapes; this is ~25x cheaper.
+
+    int8 IS the device wire format (models/batch.pack_query_inputs), so
+    emitting it directly also deletes a whole-batch int32 buffer + cast
+    from the serve hot path (codes are always positive table indices, and
+    every host consumer either indexes with them or converts itself)."""
+    buf = np.full((len(seqs), length), PAD_CODE, np.int8)
     joined = "".join(seqs).encode("ascii", errors="replace")
-    codes = _ENC[np.frombuffer(joined, np.uint8)]
+    codes = _ENC8[np.frombuffer(joined, np.uint8)]
     o = 0
     for i, s in enumerate(seqs):
         buf[i, : len(s)] = codes[o: o + len(s)]
         o += len(s)
     return buf
+
+
+def validate_batch(seqs) -> np.ndarray:
+    """Per-sequence validity flags for many sequences in ONE vectorized
+    pass (the serve loop validates thousands of lines per chunk; per-call
+    `validate` overhead was ~1/3 of its host time)."""
+    n = len(seqs)
+    joined = "".join(seqs).encode("ascii", errors="replace")
+    if not joined:
+        return np.ones(n, bool)
+    flags = _ENC8[np.frombuffer(joined, np.uint8)] > HYPHEN_CODE
+    if not flags.any():                 # the common case: everything valid
+        return np.ones(n, bool)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    bad = np.concatenate([[0], np.cumsum(flags)])
+    ends = np.cumsum(lens)
+    return bad[ends] == bad[ends - lens]
 
 
 ALPHABET_ERROR = ("sequences must contain only A-Z and '-' "

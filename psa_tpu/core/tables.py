@@ -235,6 +235,21 @@ class ScoringTables:
                 + (counts[..., 2] * ws[2])) + (counts[..., 3] * ws[3])
 
 
+_TABLES_CACHE: dict = {}
+
+
+def build_tables_cached(weights, is_max: bool) -> ScoringTables:
+    """Memoized `build_tables` — construction costs ~12ms of pure Python
+    (the 29x29 substitution scans), which the serving loop otherwise pays
+    once per chunk per bucket.  Safe to share: ScoringTables is a frozen
+    dataclass and every consumer treats the arrays as constants."""
+    key = (tuple(np.asarray(weights, np.float64).tolist()), bool(is_max))
+    t = _TABLES_CACHE.get(key)
+    if t is None:
+        t = _TABLES_CACHE[key] = build_tables(weights, is_max)
+    return t
+
+
 def build_tables(weights, is_max: bool) -> ScoringTables:
     """Build all constant tables for one configuration (pure NumPy, f64)."""
     w = np.asarray(weights, dtype=np.float64)

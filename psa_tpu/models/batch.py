@@ -790,17 +790,22 @@ def _warn_degrade(e: Exception) -> None:
 def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                        mesh: Mesh | None, defer: bool):
     """Shared body of search_batch / search_batch_async -> (handles, finish)."""
-    from psa_tpu.core.alphabet import encode_batch_padded, validate
-    from psa_tpu.core.tables import build_tables
+    from psa_tpu.core.alphabet import encode_batch_padded, validate_batch
+    from psa_tpu.core.tables import build_tables_cached
     from psa_tpu.ops.pallas_sweep import plan_shapes
 
     results: list = [None] * len(queries)
-    buckets: dict = {}
-    for i, q in enumerate(queries):
-        if strict_alphabet and not (validate(q.seq1) and validate(q.seq2)):
+    if strict_alphabet and queries:
+        # one vectorized pass over the whole batch (per-query validate
+        # overhead was a measurable share of serve host time)
+        ok = (validate_batch([q.seq1 for q in queries])
+              & validate_batch([q.seq2 for q in queries]))
+        if not ok.all():
             from psa_tpu.core.alphabet import ALPHABET_ERROR
 
-            raise ValueError(f"case {i}: {ALPHABET_ERROR}")
+            raise ValueError(f"case {int(np.argmin(ok))}: {ALPHABET_ERROR}")
+    buckets: dict = {}
+    for i, q in enumerate(queries):
         _, noff_pad, l2p, l1k = plan_shapes(len(q.seq1), len(q.seq2))
         key = (tuple(float(w) for w in q.weights), q.is_max, l1k, l2p)
         buckets.setdefault(key, []).append(i)
@@ -829,7 +834,7 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
             use_device = backend == "pallas"
         device_failed = False
         if use_device:
-            tables = build_tables(np.asarray(w), is_max)
+            tables = build_tables_cached(np.asarray(w), is_max)
             c1b = encode_batch_padded([queries[i].seq1 for i in idxs], l1k)
             c2b = encode_batch_padded([queries[i].seq2 for i in idxs], l2p)
             noffs = np.array([len(queries[i].seq1) - len(queries[i].seq2) + 1

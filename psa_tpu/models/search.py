@@ -33,7 +33,7 @@ import numpy as np
 from psa_tpu.core.alphabet import encode, validate
 from psa_tpu.core.oracle import offset_stats_numpy
 from psa_tpu.core.result import SearchResult
-from psa_tpu.core.tables import ScoringTables, build_tables
+from psa_tpu.core.tables import ScoringTables, build_tables_cached
 from psa_tpu.ops.select import select_best
 
 _BACKENDS = ("auto", "numpy", "xla", "conv", "pallas", "native", "hybrid")
@@ -99,7 +99,8 @@ class AlignmentSearchEngine:
             backend = CONFIG.default_backend
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; choose from {_BACKENDS}")
-        self.tables: ScoringTables = build_tables(np.asarray(weights, np.float64), is_max)
+        self.tables: ScoringTables = build_tables_cached(
+            np.asarray(weights, np.float64), is_max)
         self.backend = backend
         self.strict_alphabet = strict_alphabet
         # native-engine thread count; 0 = all cores, 1 = the reference's

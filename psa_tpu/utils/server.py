@@ -34,6 +34,8 @@ import sys
 import time
 from collections import deque
 
+import numpy as np
+
 
 class PendingReplies:
     """One in-flight serve chunk: parse errors already resolved, device
@@ -89,7 +91,7 @@ def dispatch_query_lines(lines, *, backend: str, lenient: bool,
     a PendingReplies whose finish() yields the aligned reply lines.
     `outputs[j]` is the reply for `lines[j]` (None for blank lines, which
     get no reply)."""
-    from psa_tpu.core.alphabet import ensure_valid
+    from psa_tpu.core.alphabet import ALPHABET_ERROR, validate_batch
     from psa_tpu.models.batch import search_batch_async
     from psa_tpu.utils.io import parse_input
 
@@ -101,12 +103,23 @@ def dispatch_query_lines(lines, *, backend: str, lenient: bool,
             continue
         try:
             q = parse_input(s)
-            ensure_valid(q.seq1, q.seq2, lenient)
         except ValueError as e:
             outputs[j] = (_error_json(str(e)) if json_out else f"error {e}")
             continue
         queries.append(q)
         slots.append(j)
+    if queries and not lenient:
+        # one vectorized validity pass over the whole chunk (per-line
+        # ensure_valid cost ~1/3 of the serve loop's host time)
+        ok = (validate_batch([q.seq1 for q in queries])
+              & validate_batch([q.seq2 for q in queries]))
+        if not ok.all():
+            err = (_error_json(ALPHABET_ERROR) if json_out
+                   else f"error {ALPHABET_ERROR}")
+            for j in np.asarray(slots)[~ok]:
+                outputs[j] = err
+            queries = [q for q, good in zip(queries, ok) if good]
+            slots = [j for j, good in zip(slots, ok) if good]
     t0 = time.perf_counter()
     if queries:
         handles, finish_fn = search_batch_async(
