@@ -282,12 +282,48 @@ def main():
     log(f"[campaign] serve {n_serve} queries "
         f"({time.perf_counter()-t0:.0f}s)")
 
+    # --- regime 6: hybrid host+device split vs the oracle -------------------
+    from psa_tpu.models.search import native_available
+
+    n_r6 = max(args.cases // 10, 4) if native_available() else 0
+    n_hybrid = 0
+    for case in range(n_r6):
+        n2 = int(rng.integers(20, 300))
+        n1 = n2 + int(rng.integers(100, 1400))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        share = float(rng.choice([0, 10, 33, 50, 77, 100]))
+        c1, c2 = random_codes(n1, 0.05), random_codes(n2, 0.05)
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        hyb = AlignmentSearchEngine(w, is_max, backend="hybrid",
+                                    device_share=share)
+        try:
+            r = ref_eng.search_codes(c1, c2)
+            want = (r.offset, r.char_offset, r.sub_code, r.score)
+        except Exception as ex:  # noqa: BLE001
+            want = type(ex).__name__
+        try:
+            r = hyb.search_codes(c1, c2)
+            got = (r.offset, r.char_offset, r.sub_code, r.score)
+        except Exception as ex:  # noqa: BLE001
+            got = type(ex).__name__
+        n_hybrid += 1
+        if got != want:
+            mismatches.append({"regime": "hybrid", "case": case,
+                               "share": share, "got": str(got),
+                               "want": str(want), "w": w.tolist(),
+                               "is_max": is_max})
+        if case % 10 == 9:
+            jax.clear_caches()
+    log(f"[campaign] hybrid {n_hybrid} cases "
+        f"({time.perf_counter()-t0:.0f}s)")
+
     out = {
         "metric": "parity_campaign",
         "seed": args.seed,
         "checks": {"e2e": n_e2e, "multitile_stats": n_stats,
                    "batch_queries": n_batch, "sharded_queries": n_sharded,
-                   "serve_queries": n_serve},
+                   "serve_queries": n_serve, "hybrid": n_hybrid},
         "mismatches": mismatches,
         "ok": not mismatches,
         "seconds": round(time.perf_counter() - t0, 1),
