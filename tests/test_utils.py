@@ -179,3 +179,44 @@ def test_health_probe_timeout_degrades_to_cpu(monkeypatch):
                         lambda *a, **k: (_ for _ in ()).throw(AssertionError))
     assert health.effective_platform() == "cpu"
     importlib.reload(health)
+
+
+def test_encode_batch_padded_matches_per_query():
+    """Batch encode (int8 wire format) == per-sequence encode + pad."""
+    import numpy as np
+
+    from psa_tpu.core.alphabet import encode, encode_batch_padded, pad_codes
+
+    seqs = ["ABC-Z", "", "QWERTY", "A" * 64, "-" * 3]
+    out = encode_batch_padded(seqs, 64)
+    assert out.dtype == np.int8
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(out[i], pad_codes(encode(s), 64))
+
+
+def test_validate_batch_matches_per_query():
+    import numpy as np
+
+    from psa_tpu.core.alphabet import validate, validate_batch
+
+    seqs = ["ABC", "", "A?C", "abc", "----", "Z" * 100, "Z" * 99 + "?"]
+    got = validate_batch(seqs)
+    want = np.array([validate(s) for s in seqs])
+    np.testing.assert_array_equal(got, want)
+    # all-valid fast path and empty-list edge
+    assert validate_batch(["AB", "CD"]).all()
+    assert validate_batch([]).shape == (0,)
+
+
+def test_build_tables_cached_identity_and_equality():
+    import numpy as np
+
+    from psa_tpu.core.tables import build_tables, build_tables_cached
+
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    a = build_tables_cached(w, False)
+    assert build_tables_cached(list(w), False) is a       # memoized
+    assert build_tables_cached(w, True) is not a          # keyed by mode
+    b = build_tables(w, False)
+    np.testing.assert_array_equal(a.code, b.code)
+    np.testing.assert_array_equal(a.pair_w, b.pair_w)
