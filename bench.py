@@ -233,11 +233,14 @@ def main():
             "sweep_ms": dt * 1e3,
             "golden_e2e_ms": golden_dt * 1e3,
             "golden_parity": golden_ok,
-            # roofline position (docs/DESIGN.md §6): the kernel is bound by
-            # VPU elementwise decode passes; the one-hot contraction keeps
-            # the MXU ~5% utilized and HBM traffic is ~3 orders below bound
-            "roofline": {"bound": "vpu", "mxu_util": 0.05,
-                         "hbm_util": "negligible"},
+            # DOCUMENTED roofline position (docs/DESIGN.md §6) — a property
+            # of the kernel formulation, NOT derived from this run: the
+            # kernel is bound by VPU elementwise decode passes; the one-hot
+            # contraction keeps the MXU ~5% utilized and HBM traffic is ~3
+            # orders below bound
+            "roofline_doc": {"bound": "vpu", "mxu_util": 0.05,
+                             "hbm_util": "negligible",
+                             "source": "docs/DESIGN.md#6"},
             **({"degraded": degraded,
                 "last_known_tpu": {
                     "sweep_ms_131072x8192": 3.50,

@@ -482,21 +482,39 @@ def _pad_batch_rows(p1, p2, pn, bpad: int):
     return p1, p2, pn
 
 
+_DISPATCH_WINDOW = 8
+
+
 def _dispatch_all_spans(spans, dispatch, finish_one, results):
-    """Dispatch every microbatch up front, defer all fetches.
+    """Dispatch microbatches ahead of the fetches, windowed.
 
     Uploads and device programs enqueue asynchronously (each dispatch is
-    one packed upload + one program), so the device works through the whole
+    one packed upload + one program), so the device works through the
     stream back to back while `finish()` fetches + host-selects in order —
     host selection of batch i overlaps device compute of batches i+1.. .
-    Returns (handles, finish): `handles` are the in-flight packed device
-    outputs (pollable via `h.is_ready()` — the serving tier keeps draining
-    client I/O while the device computes), `finish()` blocks and returns
-    the completed results list."""
-    pending = [((s, e), dispatch(s, e)) for s, e in spans]
+    At most `_DISPATCH_WINDOW` microbatches are in flight (+1 transiently:
+    the refill dispatches BEFORE blocking on the oldest fetch, so the new
+    upload overlaps it): every enqueued input/output buffer stays alive
+    until its program runs, so dispatching an UNBOUNDED workload up front
+    would hold O(workload) device memory (a ~4M-query serve file is ~10 GB
+    of simultaneously-live buffers); the window keeps it O(1) while still
+    hiding dispatch latency.
+    Returns (handles, finish): `handles` are the currently in-flight packed
+    device outputs (pollable via `h.is_ready()` — the serving tier keeps
+    draining client I/O while the device computes), `finish()` blocks and
+    returns the completed results list."""
+    spans = list(spans)
+    pending = [((s, e), dispatch(s, e))
+               for s, e in spans[:_DISPATCH_WINDOW]]
 
     def finish():
-        for span, dev in pending:
+        nxt = len(pending)
+        while pending:
+            span, dev = pending.pop(0)
+            if nxt < len(spans):            # refill the window first: the
+                s, e = spans[nxt]           # new dispatch overlaps this
+                pending.append((spans[nxt], dispatch(s, e)))  # fetch
+                nxt += 1
             finish_one(span, dev)
         return results
 
@@ -794,6 +812,12 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
     from psa_tpu.core.tables import build_tables_cached
     from psa_tpu.ops.pallas_sweep import plan_shapes
 
+    if backend == "hybrid":
+        # the hybrid split applies to ONE query's offset range
+        # (cpu_funcs.c:144-150); batch throughput comes from the query axis
+        raise ValueError("the hybrid backend applies to single-query "
+                         "searches only — use backend='auto' or 'pallas' "
+                         "for batches")
     results: list = [None] * len(queries)
     if strict_alphabet and queries:
         # one vectorized pass over the whole batch (per-query validate

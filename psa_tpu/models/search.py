@@ -122,6 +122,10 @@ class AlignmentSearchEngine:
     def offset_stats(self, codes1: np.ndarray, codes2: np.ndarray):
         """Per-offset (counts (noff,4) int32, maxrank (noff,) int32)."""
         backend = self._resolve_backend(codes1, codes2)
+        if backend == "hybrid":
+            # stats are a whole-range product; the hybrid split only shapes
+            # the WINNER search — serve stats from the host engine
+            backend = "native" if native_available() else "numpy"
         if backend == "numpy":
             return offset_stats_numpy(codes1, codes2, self.tables)
         if backend == "native":
@@ -262,7 +266,13 @@ class AlignmentSearchEngine:
             t = threading.Thread(target=host_block, daemon=True)
             t.start()
         try:
-            dev = self._device_exact(codes1, codes2, noff_limit=split)
+            # the device block only needs Seq1's prefix covering offsets
+            # [0, split) — slicing it shrinks the sweep to the device's
+            # share (the reference gives the GPU only its block too,
+            # cpu_funcs.c:144-147); prefix offsets are global offsets
+            dev = self._device_exact(
+                codes1[: split + codes2.shape[0] - 1], codes2,
+                noff_limit=split)
         except NoMutationFound:
             dev = None
         finally:

@@ -383,26 +383,7 @@ class _ServeLineReader:
             else:
                 self._pending += data
         # drain phase: whatever is already on the fd, without blocking
-        while not self._eof and len(lines) < max_lines:
-            if b"\n" in self._pending:
-                self._take_lines(lines, max_lines)
-                continue
-            ready, _, _ = _select.select([self._fd], [], [], 0)
-            if not ready:
-                break
-            data = os.read(self._fd, 1 << 16)
-            if not data:
-                self._eof = True
-            else:
-                self._pending += data
-        self._take_lines(lines, max_lines)
-        # a final unterminated line is emitted once all complete lines
-        # before it have been taken and the chunk has room
-        if (self._eof and self._pending and b"\n" not in self._pending
-                and len(lines) < max_lines):
-            lines.append(self._pending.decode("utf-8", "replace"))
-            self._pending.clear()
-        return lines, self._eof and not self._pending
+        return self._drain(lines, max_lines)
 
     def poll_chunk(self, max_lines: int, timeout: float = 0.0):
         """Non-blocking next_chunk: complete lines already on the fd,
@@ -410,20 +391,28 @@ class _ServeLineReader:
         dispatched batch computes on the device, so arriving queries join
         the NEXT batch instead of waiting out a device round trip.
         Streams without a fileno can't be polled -> ([], eof)."""
-        import os
-        import select as _select
-
         if self._fd is None:
             time.sleep(timeout)     # unpollable stream: honor the wait so
             return [], self._eof    # device-poll loops don't busy-spin
-        lines: list = []
+        return self._drain([], max_lines, first_timeout=timeout)
+
+    def _drain(self, lines: list, max_lines: int,
+               first_timeout: float = 0.0):
+        """Shared drain + EOF-tail rule for next_chunk/poll_chunk: pull
+        complete lines already on the fd into `lines`, waiting at most
+        `first_timeout` seconds for the FIRST new bytes (0 = pure drain);
+        a final unterminated line at EOF is still a query.  Returns
+        (lines, eof-and-fully-consumed)."""
+        import os
+        import select as _select
+
         first = True
         while not self._eof and len(lines) < max_lines:
             if b"\n" in self._pending:
                 self._take_lines(lines, max_lines)
                 continue
             ready, _, _ = _select.select([self._fd], [], [],
-                                         timeout if first else 0)
+                                         first_timeout if first else 0)
             first = False
             if not ready:
                 break

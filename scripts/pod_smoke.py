@@ -109,6 +109,14 @@ def main() -> int:
         with open(os.path.join(args.workdir, "POD_SMOKE.json"), "w") as f:
             json.dump(artifact, f, indent=1)
         print(json.dumps(artifact), flush=True)
+    # every process exits by process-0's verdict (the docstring contract:
+    # exit 0 on EVERY process iff process 0 verified parity)
+    if nproc > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        ok = bool(multihost_utils.broadcast_one_to_all(
+            np.array([1 if ok else 0], np.int32))[0])
     return 0 if ok else 1
 
 

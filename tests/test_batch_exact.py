@@ -441,3 +441,40 @@ def test_search_batch_auto_failure_does_not_reenter_device(monkeypatch,
         ref = eng.search(q.seq1, q.seq2)
         assert (r.offset, r.char_offset, r.score) == (
             ref.offset, ref.char_offset, ref.score)
+
+
+def test_dispatch_window_bounds_inflight():
+    """_dispatch_all_spans must keep at most _DISPATCH_WINDOW microbatches
+    in flight (every enqueued buffer stays alive until its program runs, so
+    unbounded up-front dispatch held O(workload) device memory) while still
+    completing every span in order."""
+    from psa_tpu.models.batch import (_DISPATCH_WINDOW, _dispatch_all_spans,
+                                      microbatch_spans)
+
+    spans = microbatch_spans(33, 2)            # 17 spans of <= 2 queries
+    live = {"now": 0, "max": 0}
+    order = []
+
+    def dispatch(s, e):
+        live["now"] += 1
+        live["max"] = max(live["max"], live["now"])
+        return (s, e)
+
+    results = [None] * 33
+
+    def finish_one(span, dev):
+        live["now"] -= 1
+        assert span == dev
+        order.append(span)
+        s, e = span
+        results[s:e] = list(range(s, e))
+
+    handles, fin = _dispatch_all_spans(spans, dispatch, finish_one, results)
+    assert len(handles) <= _DISPATCH_WINDOW
+    out = fin()
+    # +1: the refill dispatches before blocking on the oldest fetch so the
+    # new upload overlaps it (see _dispatch_all_spans docstring)
+    assert live["max"] <= _DISPATCH_WINDOW + 1
+    assert live["now"] == 0
+    assert order == spans                      # fetches stay in input order
+    assert out == list(range(33))

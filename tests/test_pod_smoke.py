@@ -43,4 +43,7 @@ def test_real_pod_smoke(tmp_path):
     rc = subprocess.call([sys.executable, "scripts/pod_smoke.py",
                           "--workdir", str(tmp_path)])
     assert rc == 0
-    assert (tmp_path / "POD_SMOKE.json").exists()
+    # the artifact is written by process 0 only; non-primary workers assert
+    # the broadcast verdict through rc alone
+    if multihost.is_primary():
+        assert (tmp_path / "POD_SMOKE.json").exists()
