@@ -308,24 +308,27 @@ def test_cli_batch_sharded_device_path(tmp_path):
 
 
 def test_pack_query_inputs_roundtrip_in_graph():
-    """The single-upload input packing must bit-round-trip through the
-    in-graph unpack (slicing + int8->int32 bitcast), including negative-free
-    int32 noffs crossing byte boundaries."""
+    """The single-upload input packing (6 codes per int32 word, 5 bits
+    each) must bit-round-trip through the in-graph unpack, including code
+    lengths that are not multiples of the pack width and all code values
+    0..28 (PAD)."""
     import jax
 
-    from psa_tpu.models.batch import pack_query_inputs, unpack_query_inputs
+    from psa_tpu.models.batch import (_packed_words, pack_query_inputs,
+                                      unpack_query_inputs)
 
     rng = np.random.default_rng(0)
-    b, l1k, l2p = 5, 640, 128
-    c1b = rng.integers(0, 28, (b, l1k), dtype=np.int32)
-    c2b = rng.integers(0, 28, (b, l2p), dtype=np.int32)
+    b, l1k, l2p = 5, 640, 128              # 640 % 6 != 0, 128 % 6 != 0
+    c1b = rng.integers(0, 29, (b, l1k), dtype=np.int32)
+    c2b = rng.integers(0, 29, (b, l2p), dtype=np.int8)   # int8 input too
     noffs = np.array([1, 255, 256, 513, 100000], np.int32)
     buf = pack_query_inputs(c1b, c2b, noffs)
-    assert buf.dtype == np.int8 and buf.shape == (b, l1k + l2p + 4)
+    assert buf.dtype == np.int32
+    assert buf.shape == (b, _packed_words(l1k) + _packed_words(l2p) + 1)
     g1, g2, gn = jax.jit(
         lambda x: unpack_query_inputs(x, l1k, l2p))(buf)
-    np.testing.assert_array_equal(np.asarray(g1), c1b.astype(np.int8))
-    np.testing.assert_array_equal(np.asarray(g2), c2b.astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(g1), c1b)
+    np.testing.assert_array_equal(np.asarray(g2), c2b.astype(np.int32))
     np.testing.assert_array_equal(np.asarray(gn), noffs)
 
 
