@@ -238,27 +238,59 @@ def exact_topk_epilogue(stats, tables: ScoringTables, noff, l2p: int,
     return topi, jnp.swapaxes(stats_k, -1, -2), near, best
 
 
-def pack_epilogue_outputs(topi, stats_k, near, best):
-    """Pack the epilogue outputs into ONE (B, 6k+2) int32 array.
+def epilogue_compact(noff_pad: int, l2p: int) -> bool:
+    """True when the int16-pair epilogue packing is sound for a bucket:
+    every packed value (top-k offsets < noff_pad, class counts <= l2p,
+    maxrank in [-1, 255]) must fit a signed int16.  Static per compiled
+    runner, so the packer and the host unpacker always agree."""
+    return noff_pad < 32768 and l2p < 32768
 
-    The remote-TPU tunnel charges ~30-80 ms per blocking fetch RPC
-    regardless of size; fetching four lazy outputs cost ~130 ms at B=1000
-    while the bytes themselves are <1 MB.  One packed array = one fetch.
-    Layout per row: [topi(k) | stats5(5*k) | near | best_bits_f32].
+
+def pack_epilogue_outputs(topi, stats_k, near, best, compact: bool = False):
+    """Pack the epilogue outputs into ONE int32 array (B, 6k+2), or
+    (B, 3k+2) with compact=True.
+
+    One packed array = one fetch: the remote-TPU tunnel charges ~30-80 ms
+    per blocking fetch RPC (four lazy outputs cost ~130 ms at B=1000), and
+    it is bandwidth-bound at MB scale, so compact mode further halves the
+    candidate block by packing int16 PAIRS per word (sound under
+    `epilogue_compact`'s static gate).  Layout per row:
+    [topi(k | k/2) | stats5(5k | 5k/2) | near | best_bits_f32].
     """
     b, k = topi.shape
+    near_best = [near[:, None].astype(jnp.int32),
+                 jax.lax.bitcast_convert_type(best.astype(jnp.float32),
+                                              jnp.int32)[:, None]]
+    if not compact:
+        return jnp.concatenate(
+            [topi, stats_k.reshape(b, 5 * k), *near_best], axis=1)
+    assert k % 2 == 0
+
+    def pk16(x):           # adjacent int16-range values -> one word each 2
+        return (x[:, 0::2] & 0xFFFF) | (x[:, 1::2] << 16)
+
     return jnp.concatenate(
-        [topi, stats_k.reshape(b, 5 * k), near[:, None].astype(jnp.int32),
-         jax.lax.bitcast_convert_type(best.astype(jnp.float32),
-                                      jnp.int32)[:, None]], axis=1)
+        [pk16(topi), pk16(stats_k.reshape(b, 5 * k)), *near_best], axis=1)
 
 
-def unpack_epilogue_outputs(buf: np.ndarray, k: int):
+def unpack_epilogue_outputs(buf: np.ndarray, k: int, compact: bool = False):
     """Host-side inverse of `pack_epilogue_outputs` (numpy)."""
-    topi = buf[:, :k]
-    stats_k = buf[:, k:6 * k].reshape(buf.shape[0], 5, k)
-    near = buf[:, 6 * k]
-    best = buf[:, 6 * k + 1].view(np.float32)
+    if not compact:
+        topi = buf[:, :k]
+        stats_k = buf[:, k:6 * k].reshape(buf.shape[0], 5, k)
+        near = buf[:, 6 * k]
+        best = buf[:, 6 * k + 1].view(np.float32)
+        return topi, stats_k, near, best
+
+    def unpk16(words, n):  # little-endian int16 view restores pair order
+        h = np.ascontiguousarray(words).view(np.int16)
+        return h.reshape(words.shape[0], n).astype(np.int32)
+
+    topi = unpk16(buf[:, : k // 2], k)
+    stats_k = unpk16(buf[:, k // 2: 3 * k], 5 * k).reshape(
+        buf.shape[0], 5, k)
+    near = buf[:, 3 * k]
+    best = buf[:, 3 * k + 1].view(np.float32)
     return topi, stats_k, near, best
 
 
@@ -337,6 +369,7 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     noff_pad = l1k - l2p
     assert noff_pad % 512 == 0 and l2p % CHUNK == 0
     code_tab = jnp.asarray(tables.code)
+    compact = epilogue_compact(noff_pad, l2p)
 
     @jax.jit
     def run(inbuf):
@@ -355,7 +388,7 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
 
         _, (topi, stats_k, near, best) = jax.lax.scan(
             step, 0, (c1b, c2b, noffs))
-        return pack_epilogue_outputs(topi, stats_k, near, best)
+        return pack_epilogue_outputs(topi, stats_k, near, best, compact)
 
     _EXACT_RUNNERS[key] = run
     return run
@@ -379,12 +412,14 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     import jax
 
     assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
+    compact = epilogue_compact(l1k - l2p, l2p)
 
     @jax.jit
     def run(inbuf):
         stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
         return pack_epilogue_outputs(
-            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
+            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
+            compact)
 
     _EXACT_RUNNERS[key] = run
     return run
@@ -415,6 +450,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     assert b % ndev == 0, (b, ndev)
     bl = b // ndev
     assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
+    compact = epilogue_compact(l1k - l2p, l2p)
 
     def local(inbuf):
         # ONE packed int8 upload, sharded on the batch axis (each row is
@@ -423,7 +459,8 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
         stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
                                           interpret)
         return pack_epilogue_outputs(
-            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k))
+            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
+            compact)
 
     fn = jax.jit(shard_map(local, mesh=mesh,
                            in_specs=(P(axis),),
@@ -555,11 +592,12 @@ def _make_finisher(results: list, c1b, c2b, noffs, n2s,
                    tables: ScoringTables, k: int):
     """Shared finish stage: unpack one microbatch's packed device output
     and run the exact host selection into `results`."""
+    compact = epilogue_compact(c1b.shape[1] - c2b.shape[1], c2b.shape[1])
 
     def finish(span, dev_out):
         s, e = span
         buf = np.asarray(dev_out)[: e - s]
-        topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+        topi, stats_k, near, best = unpack_epilogue_outputs(buf, k, compact)
         stats_k = np.swapaxes(stats_k, 1, 2)   # (n, 5, k) -> (n, k, 5)
         results[s:e] = _host_select(c1b[s:e], c2b[s:e], noffs[s:e],
                                     n2s[s:e], tables, topi, stats_k, near,

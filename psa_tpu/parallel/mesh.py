@@ -147,7 +147,8 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
     the reference GPU driver copying only the winner back
     (cuda_funcs.cu:106-119).  Returns fn(c1p, c2p, noff) -> packed rows
     (one per shard, global offsets; models/batch.unpack_epilogue_outputs)."""
-    from psa_tpu.models.batch import (TOPK, exact_topk_epilogue_rows,
+    from psa_tpu.models.batch import (TOPK, epilogue_compact,
+                                      exact_topk_epilogue_rows,
                                       pack_epilogue_outputs)
 
     if k is None:
@@ -187,9 +188,11 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
         noff_local = jnp.clip(noff[0] - o0, 0, per_shard)
         topi, stats_k, near, best = exact_topk_epilogue_rows(
             stats5, tables, noff_local, l2p, k)
-        # report GLOBAL offsets so the host merge needs no shard arithmetic
+        # report GLOBAL offsets so the host merge needs no shard arithmetic;
+        # the compact gate therefore uses the GLOBAL offset range
         return pack_epilogue_outputs((topi + o0)[None], stats_k[None],
-                                     near[None], best[None])
+                                     near[None], best[None],
+                                     epilogue_compact(noff_pad, l2p))
 
     repl = NamedSharding(mesh, P())
     fn = jax.jit(shard_map(
@@ -203,7 +206,8 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
 
 
 def _select_from_shard_topk(buf: np.ndarray, noff: int, l2p: int,
-                            tables: ScoringTables, codes1, codes2, k: int):
+                            tables: ScoringTables, codes1, codes2, k: int,
+                            compact: bool):
     """Exact host selection from per-shard top-k candidate rows.
 
     Returns a SearchResult, or None when the f32 ranking was insufficient
@@ -215,7 +219,7 @@ def _select_from_shard_topk(buf: np.ndarray, noff: int, l2p: int,
     from psa_tpu.ops.select import (candidate_epsilon, pick_from_candidates,
                                     totals_from_stats)
 
-    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k)
+    topi, stats_k, near, best = unpack_epilogue_outputs(buf, k, compact)
     if np.all(np.isneginf(best)):
         raise NoMutationFound("no offset admits a legal substitution")
     bg = best.max()                       # global keyed f32 best
@@ -272,8 +276,11 @@ def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
         from jax.experimental import multihost_utils
 
         buf = multihost_utils.process_allgather(buf, tiled=True)
-    res = _select_from_shard_topk(np.asarray(buf), noff, c2p.shape[0],
-                                  tables, codes1, codes2, TOPK)
+    from psa_tpu.models.batch import epilogue_compact
+
+    res = _select_from_shard_topk(
+        np.asarray(buf), noff, c2p.shape[0], tables, codes1, codes2, TOPK,
+        epilogue_compact(c1p.shape[0] - c2p.shape[0], c2p.shape[0]))
     if res is not None:
         return res
     stats = sharded_offset_stats(c1p, c2p, tables, mesh, kernel=kernel)

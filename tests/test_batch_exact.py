@@ -481,3 +481,38 @@ def test_dispatch_window_bounds_inflight():
     assert live["now"] == 0
     assert order == spans                      # fetches stay in input order
     assert out == list(range(33))
+
+
+def test_pack_epilogue_outputs_compact_roundtrip():
+    """Compact (int16-pair) epilogue packing must bit-round-trip, including
+    maxrank -1 sentinels in both halves of a word and count values at the
+    int16 boundary."""
+    import jax.numpy as jnp
+
+    from psa_tpu.models.batch import (epilogue_compact,
+                                      pack_epilogue_outputs,
+                                      unpack_epilogue_outputs)
+
+    assert epilogue_compact(2048, 512)
+    assert not epilogue_compact(40960, 512)      # big offset range
+    assert not epilogue_compact(2048, 40960)     # big seq2
+
+    rng = np.random.default_rng(3)
+    b, k = 4, 32
+    topi = rng.integers(0, 32767, (b, k), dtype=np.int32)
+    stats = rng.integers(0, 32767, (b, 5, k), dtype=np.int32)
+    stats[:, 4, ::3] = -1                        # maxrank sentinels
+    near = rng.integers(0, 1 << 20, b, dtype=np.int32)
+    best = rng.standard_normal(b).astype(np.float32)
+    best[0] = -np.inf
+    for compact in (False, True):
+        buf = np.asarray(pack_epilogue_outputs(
+            jnp.asarray(topi), jnp.asarray(stats), jnp.asarray(near),
+            jnp.asarray(best), compact))
+        assert buf.shape[1] == (3 * k + 2 if compact else 6 * k + 2)
+        g_topi, g_stats, g_near, g_best = unpack_epilogue_outputs(
+            buf, k, compact)
+        np.testing.assert_array_equal(g_topi, topi)
+        np.testing.assert_array_equal(g_stats, stats)
+        np.testing.assert_array_equal(g_near, near)
+        np.testing.assert_array_equal(g_best, best)
