@@ -516,3 +516,32 @@ def test_pack_epilogue_outputs_compact_roundtrip():
         np.testing.assert_array_equal(g_stats, stats)
         np.testing.assert_array_equal(g_near, near)
         np.testing.assert_array_equal(g_best, best)
+
+
+def test_batched_exact_noncompact_gate_end_to_end():
+    """A bucket past the int16 gate (noff_pad >= 32768) must run the
+    NON-compact epilogue wire format end-to-end and still match the
+    oracle — CI's other shapes all take the compact path."""
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.core.oracle import offset_stats_numpy
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import batched_search_exact, epilogue_compact
+    from psa_tpu.ops.select import select_best
+
+    l2p, noff_pad = 128, 32768
+    l1k = noff_pad + l2p
+    assert not epilogue_compact(noff_pad, l2p)
+    t = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    rng = np.random.default_rng(21)
+    n1, n2 = 32650, 100
+    c1 = rng.integers(0, 26, n1, dtype=np.int32)
+    c2 = rng.integers(0, 26, n2, dtype=np.int32)
+    noff = n1 - n2 + 1
+    rs = batched_search_exact(pad_codes(c1, l1k)[None], pad_codes(c2, l2p)[None],
+                              np.array([noff], np.int32),
+                              np.array([n2], np.int32), t, interpret=True)
+    counts, maxrank = offset_stats_numpy(c1, c2, t)
+    ref = select_best(counts, maxrank, t, c1, c2)
+    got = rs[0]
+    assert (got.offset, got.char_offset, got.sub_code, got.score) == (
+        ref.offset, ref.char_offset, ref.sub_code, ref.score)
