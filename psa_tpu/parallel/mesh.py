@@ -38,6 +38,33 @@ def make_mesh(devices=None, axis: str = "op") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """Host-side 5-bit packing of one padded code vector (6 codes per int32
+    word — models/batch.pack_query_inputs' wire discipline for the sharded
+    path: the tunnel is bandwidth-bound, so the 100k-char north-star Seq1
+    ships as 67 KB instead of 400 KB)."""
+    from psa_tpu.core.alphabet import PAD_CODE
+    from psa_tpu.models.batch import _PACK, _packed_words
+
+    n = codes.shape[0]
+    w = _packed_words(n)
+    if w * _PACK != n:
+        codes = np.pad(codes, (0, w * _PACK - n), constant_values=PAD_CODE)
+    out = codes[0::_PACK].astype(np.int32)
+    for j in range(1, _PACK):
+        out |= codes[j::_PACK].astype(np.int32) << (5 * j)
+    return out
+
+
+def _unpack_codes_graph(words: jnp.ndarray, n: int) -> jnp.ndarray:
+    """In-graph inverse of `_pack_codes_host` (shift+mask, replicated)."""
+    from psa_tpu.models.batch import _PACK
+
+    parts = [jax.lax.shift_right_logical(words, 5 * j) & 31
+             for j in range(_PACK)]
+    return jnp.stack(parts, axis=-1).reshape(-1)[:n]
+
+
 def _local_stats_jnp(c1_local, c2p, code_flat, noff_local: int, block: int = 512):
     """Per-shard sweep in plain jnp (portable; the pallas path plugs in on TPU)."""
     l2p = c2p.shape[0]
@@ -145,8 +172,11 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
     reduces it to k candidate offsets with exact integer stats, so only
     (n_shards, 6k+2) ints ever leave the devices — the sharded analog of
     the reference GPU driver copying only the winner back
-    (cuda_funcs.cu:106-119).  Returns fn(c1p, c2p, noff) -> packed rows
-    (one per shard, global offsets; models/batch.unpack_epilogue_outputs)."""
+    (cuda_funcs.cu:106-119).  Returns fn(c1w, c2w, noff) -> packed rows
+    (one per shard, global offsets; models/batch.unpack_epilogue_outputs);
+    c1w/c2w are `_pack_codes_host` words — the upload wire format, 6 codes
+    per int32 word (the tunnel is bandwidth-bound, so the 100k-char north
+    star's Seq1 ships as 67 KB instead of 400 KB)."""
     from psa_tpu.models.batch import (TOPK, epilogue_compact,
                                       exact_topk_epilogue_rows,
                                       pack_epilogue_outputs)
@@ -173,7 +203,9 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
     code_flat = jnp.asarray(tables.code.reshape(-1).astype(np.int32))
     code_tab = jnp.asarray(tables.code)
 
-    def body(c1, c2, noff):
+    def body(c1w, c2w, noff):
+        c1 = _unpack_codes_graph(c1w, l1p)
+        c2 = _unpack_codes_graph(c2w, l2p)
         s = jax.lax.axis_index(axis)
         o0 = s * per_shard
         c1_local = jax.lax.dynamic_slice(c1, (o0,), (per_shard + l2p,))
@@ -270,7 +302,8 @@ def search_sharded(codes1: np.ndarray, codes2: np.ndarray,
     # be resharded across processes
     fn = make_sharded_topk_fn(tables, mesh, c1p.shape[0], c2p.shape[0],
                               kernel=kernel)
-    buf = fn(c1p, c2p, np.array([noff], np.int32))
+    buf = fn(_pack_codes_host(c1p), _pack_codes_host(c2p),
+             np.array([noff], np.int32))
     if jax.process_count() > 1:
         # multi-host: each process holds only its shards; gather over DCN
         from jax.experimental import multihost_utils
