@@ -179,3 +179,40 @@ def test_tcp_port_in_use():
         assert "cannot listen" in proc.stderr
     finally:
         blocker.close()
+
+
+def test_tcp_adversarial_inputs_do_not_kill_server():
+    """Binary garbage, NUL bytes, a multi-megabyte line, and invalid UTF-8
+    must each produce an error reply on their own connection while the
+    server keeps serving correct answers to everyone else."""
+    with _Server() as srv:
+        garbage = [
+            b"\x00\x01\x02\xff\xfe binary\n",
+            b"1 3 4 2 " + b"A" * (2 << 20) + b" ABC minimum\n",  # 2 MB line
+            "1 3 4 2 SéQ ABC minimum\n".encode(),           # non-ASCII
+            b"\n\n\n",                                           # blanks
+        ]
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=60)
+        for g in garbage:
+            s.sendall(g)
+        s.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            d = s.recv(1 << 16)
+            if not d:
+                break
+            buf += d
+        s.close()
+        replies = buf.decode().splitlines()
+        # 3 non-blank adversarial lines -> 3 replies, every one an error
+        # EXCEPT the 2 MB one, which is a structurally valid query with a
+        # huge seq1 — either a real answer or an error is acceptable, it
+        # just must not kill the server
+        assert len(replies) == 3
+        assert replies[0].startswith("error")
+        assert replies[2].startswith("error")
+        # a fresh well-formed client still gets the right answer
+        want = _expected_line("1 3 4 2 ABCDEFGHIJ ABC minimum")
+        got = _roundtrip(srv.port, ["1 3 4 2 ABCDEFGHIJ ABC minimum"])
+        assert got == [want]
+        assert srv.stop() == 0
