@@ -43,6 +43,11 @@ def main():
                     help="drive the TCP tier (--serve --listen) with this "
                          "many concurrent socket clients instead of one "
                          "stdin pipe")
+    ap.add_argument("--closed-loop", action="store_true",
+                    help="TCP clients send one query at a time and wait for "
+                         "its reply — measures per-query service latency "
+                         "(p50/p99) under N concurrent clients instead of "
+                         "offered-load throughput")
     args = ap.parse_args()
 
     from psa_tpu.utils.generator import random_sequences
@@ -183,8 +188,21 @@ def run_tcp(args, cmd, lines):
         daemon=True).start()
     log(f"[serve_bench] TCP server on port {port}, {args.tcp} clients")
 
-    def client(shard, out):
+    def client(shard, out, lats):
         s = socket.create_connection(("127.0.0.1", port), timeout=3600)
+        if args.closed_loop:
+            # one query in flight per client: per-query service latency
+            f = s.makefile("rw", newline="\n")
+            for q in shard:
+                t0 = time.perf_counter()
+                f.write(q + "\n")
+                f.flush()
+                r = f.readline()
+                lats.append(time.perf_counter() - t0)
+                out.append(r.rstrip("\n"))
+            f.close()
+            s.close()
+            return
         s.sendall(("\n".join(shard) + "\n").encode())
         s.shutdown(socket.SHUT_WR)
         buf = b""
@@ -196,17 +214,21 @@ def run_tcp(args, cmd, lines):
         s.close()
         out.extend(buf.decode().splitlines())
 
+    all_lats: list = []
+
     def wave(tag, wave_lines):
         shards = [wave_lines[i::args.tcp] for i in range(args.tcp)]
         outs = [[] for _ in shards]
+        lats: list = []
         t0 = time.perf_counter()
-        threads = [threading.Thread(target=client, args=(sh, o))
+        threads = [threading.Thread(target=client, args=(sh, o, lats))
                    for sh, o in zip(shards, outs) if sh]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
+        all_lats[:] = lats
         n = sum(len(o) for o in outs)
         log(f"[serve_bench] {tag}: {n} replies from {len(threads)} clients "
             f"in {dt:.2f}s ({n/dt:.0f} q/s)")
@@ -250,13 +272,26 @@ def run_tcp(args, cmd, lines):
 
     proc.send_signal(signal.SIGTERM)
     proc.wait(timeout=30)
+    detail = {"batch": B, "n1": args.n1, "n2": args.n2,
+              "clients": args.tcp, "serve_batch": args.serve_batch,
+              "backend": args.backend, "mismatches": n_bad}
+    if args.closed_loop and all_lats:
+        ms = np.asarray(all_lats) * 1e3
+        detail["latency_ms"] = {
+            "p50": round(float(np.percentile(ms, 50)), 2),
+            "p90": round(float(np.percentile(ms, 90)), 2),
+            "p99": round(float(np.percentile(ms, 99)), 2),
+            "mean": round(float(ms.mean()), 2),
+        }
+        log(f"[serve_bench] closed-loop latency p50/p90/p99 = "
+            f"{detail['latency_ms']['p50']}/{detail['latency_ms']['p90']}/"
+            f"{detail['latency_ms']['p99']} ms")
     print(json.dumps({
-        "metric": "serve_tcp_queries_per_sec",
+        "metric": ("serve_tcp_closed_loop" if args.closed_loop
+                   else "serve_tcp_queries_per_sec"),
         "value": B / dt,
         "unit": "q/s",
-        "detail": {"batch": B, "n1": args.n1, "n2": args.n2,
-                   "clients": args.tcp, "serve_batch": args.serve_batch,
-                   "backend": args.backend, "mismatches": n_bad},
+        "detail": detail,
     }))
     sys.exit(1 if n_bad else 0)
 
