@@ -477,19 +477,17 @@ def _serve_loop(args, reader, mesh) -> int:
     (batches finish FIFO).  Partial batches dispatch only once the device
     pipeline is empty — while the device is busy, a trickle accumulates
     into a fuller batch (the quiescence rule's pipelined analog)."""
-    from collections import deque
-
-    from psa_tpu.utils.server import dispatch_query_lines
+    from psa_tpu.utils.server import Finisher, dispatch_query_lines
 
     max_b = max(1, args.serve_batch)
     served = 0
     queued: list = []
-    inflight: deque = deque()      # PendingReplies, finished FIFO
     eof = False
+    fin = Finisher()               # fetches complete FIFO off-loop
 
-    def flush_one() -> int:
+    def flush(payload) -> int:
         nonlocal served
-        outputs, nq, dt = inflight.popleft().finish()
+        outputs, nq, dt = payload
         try:
             for o in outputs:
                 if o is not None:
@@ -517,33 +515,42 @@ def _serve_loop(args, reader, mesh) -> int:
                   f"({served} total)", file=sys.stderr)
         return 0
 
-    while True:
-        # dispatch: a full batch whenever pipeline space exists; a partial
-        # one only once the device pipeline is empty
-        while (len(inflight) < 2
-               and (len(queued) >= max_b or (queued and not inflight))):
-            take = queued[:max_b]
-            del queued[:max_b]
-            inflight.append(dispatch_query_lines(
-                take, backend=args.backend, lenient=args.lenient,
-                json_out=args.json, mesh=mesh))
-        if not inflight:
-            if eof:
-                break
-            lines, eof = reader.next_chunk(max_b)   # idle: block for input
+    try:
+        while True:
+            # dispatch: a full batch whenever pipeline space exists; a
+            # partial one only once the device pipeline is empty
+            while (fin.inflight < 2
+                   and (len(queued) >= max_b
+                        or (queued and not fin.inflight))):
+                take = queued[:max_b]
+                del queued[:max_b]
+                fin.submit(dispatch_query_lines(
+                    take, backend=args.backend, lenient=args.lenient,
+                    json_out=args.json, mesh=mesh))
+            if not fin.inflight:
+                if eof:
+                    break
+                lines, eof = reader.next_chunk(max_b)  # idle: block
+                queued.extend(lines)
+                continue
+            # print whatever the finisher thread completed; block outright
+            # only when nothing else can progress (pipeline full, or EOF
+            # endgame with no full batch left to form)
+            block = (fin.inflight >= 2 or (eof and len(queued) < max_b))
+            got = fin.collect(timeout=None if block else 0)
+            if got is not None:
+                rc = flush(got[1])
+                if rc:
+                    return rc
+                continue
+            # oldest batch still in flight and pipeline has room: drain
+            # stdin while the finisher blocks on the fetch in background
+            lines, got_eof = reader.poll_chunk(max_b - len(queued),
+                                               timeout=0.002)
+            eof = eof or got_eof
             queued.extend(lines)
-            continue
-        if (inflight[0].ready() or len(inflight) >= 2
-                or (eof and len(queued) < max_b)):
-            rc = flush_one()
-            if rc:
-                return rc
-            continue
-        # oldest batch still computing and pipeline has room: drain stdin
-        lines, got_eof = reader.poll_chunk(max_b - len(queued),
-                                           timeout=0.002)
-        eof = eof or got_eof
-        queued.extend(lines)
+    finally:
+        fin.close()
     return 0
 
 

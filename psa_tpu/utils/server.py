@@ -147,6 +147,68 @@ def _error_json(msg: str) -> str:
     return json.dumps({"error": msg})
 
 
+class Finisher:
+    """One background thread completing PendingReplies in dispatch order.
+
+    `finish()` blocks on the device fetch RPC — which releases the GIL —
+    so running it off-loop lets the serve loops parse/encode/drain the
+    NEXT chunk while the oldest batch's results travel.  Measured on the
+    tunnel: the fetch (~95 ms per 1024-batch) and the host work (~53 ms)
+    used to serialize; overlapped, per-chunk wall approaches
+    max(fetch, host).  Results come back strictly FIFO (one worker), so
+    reply ordering is unchanged.  Exceptions from finish() re-raise on
+    the collecting thread."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._in: "queue.Queue" = queue.Queue()
+        self._out: "queue.Queue" = queue.Queue()
+        self._n = 0              # submitted, not yet collected
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="psa-finisher")
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                return
+            tag, pending = item
+            try:
+                self._out.put(("ok", tag, pending.finish()))
+            except BaseException as e:  # noqa: BLE001 - re-raised by collect
+                self._out.put(("err", tag, e))
+
+    def submit(self, pending, tag=None) -> None:
+        self._n += 1
+        self._in.put((tag, pending))
+
+    @property
+    def inflight(self) -> int:
+        return self._n
+
+    def collect(self, timeout: float | None):
+        """(tag, (outputs, nq, dt)) of the oldest batch; None if nothing
+        completes within `timeout` (0 = non-blocking, None = wait)."""
+        import queue
+
+        try:
+            kind, tag, payload = self._out.get(
+                block=timeout != 0, timeout=timeout or None)
+        except queue.Empty:
+            return None
+        self._n -= 1
+        if kind == "err":
+            raise payload
+        return tag, payload
+
+    def close(self) -> None:
+        self._in.put(None)
+        self._t.join(timeout=10)
+
+
 class _Conn:
     """Per-connection state: input line buffer, reply outbox, lifecycle."""
 
@@ -197,12 +259,13 @@ class TCPQueryServer:
     # would absorb the wakeup)
     _IDLE_TICK = 0.25
     # selector timeout while a batch is in flight on the device: the loop
-    # keeps draining sockets and polls PendingReplies.ready() between
+    # keeps draining sockets and polls the finisher thread between
     # selects, so this bounds added reply latency, not throughput
     _POLL_TICK = 0.002
-    # dispatched-but-unfinished batches (device pipeline depth at the
-    # server level): 2 lets the (RPC-expensive) fetch of batch i overlap
-    # device compute of batch i+1
+    # dispatched-but-uncollected batches (device pipeline depth at the
+    # server level): the finisher thread blocks on the oldest fetch while
+    # this loop drains/parses/dispatches the next, so 2 overlaps the
+    # RPC-expensive fetch with both device compute AND host serve work
     _MAX_INFLIGHT = 2
 
     def __init__(self, host: str, port: int, *, backend: str, lenient: bool,
@@ -216,7 +279,7 @@ class TCPQueryServer:
         self._quiet = quiet
         self._stop = False
         self._served = 0
-        self._inflight: deque = deque()   # (batch, PendingReplies) FIFO
+        self._fin: Finisher | None = None   # set for run()'s lifetime
         self.bound_addr: tuple | None = None
 
     def request_stop(self, *_a) -> None:
@@ -247,6 +310,7 @@ class TCPQueryServer:
         old_int = signal.signal(signal.SIGINT, self.request_stop)
         old_term = signal.signal(signal.SIGTERM, self.request_stop)
         fifo: deque = deque()       # (conn, line) across every connection
+        self._fin = fin = Finisher()
         try:
             while not self._stop:
                 # zero timeout ONLY when a dispatch can actually happen this
@@ -255,10 +319,10 @@ class TCPQueryServer:
                 # client's own I/O threads (measured: TCP throughput 4x
                 # worse than the pipe loop until this rule)
                 n0 = len(fifo)
-                can_dispatch = len(self._inflight) < self._MAX_INFLIGHT
+                can_dispatch = fin.inflight < self._MAX_INFLIGHT
                 if fifo and can_dispatch:
                     timeout = 0
-                elif fifo or self._inflight:
+                elif fifo or fin.inflight:
                     timeout = self._POLL_TICK
                 else:
                     timeout = self._IDLE_TICK
@@ -268,33 +332,33 @@ class TCPQueryServer:
                         self._accept(sel, lsock)
                     else:
                         self._handle(sel, key.data, mask, fifo)
-                # route replies: batches the device already finished
-                # (ready() is a local future check); when the pipeline is
-                # full AND a full next batch waits, block on the oldest
-                # fetch outright — nothing else productive can happen and
-                # the fetch overlaps the newer batch's compute
-                while self._inflight and self._inflight[0][1].ready():
-                    self._finish_oldest(sel, fifo)
-                if (self._inflight
-                        and len(self._inflight) >= self._MAX_INFLIGHT
-                        and len(fifo) >= self._max_batch):
-                    self._finish_oldest(sel, fifo)
+                # route every batch the finisher thread completed (it blocks
+                # on the oldest fetch in the background — the RPC releases
+                # the GIL — while this loop keeps draining and dispatching)
+                while True:
+                    got = fin.collect(timeout=0)
+                    if got is None:
+                        break
+                    self._route(sel, fifo, got[0], got[1])
                 # dispatch only a FULL batch, or a partial one once input is
                 # quiescent (no new line arrived this pass) — the socket
                 # analog of the pipe reader's drain phase.  Without this,
                 # one recv per connection per pass yields small odd-sized
                 # dispatches, each paying a device round trip (and, for a
                 # new padded size, a compile).
-                if (fifo and len(self._inflight) < self._MAX_INFLIGHT
+                if (fifo and fin.inflight < self._MAX_INFLIGHT
                         and (len(fifo) >= self._max_batch
                              or len(fifo) == n0)):
                     self._dispatch(sel, fifo)
             # clean stop: finish in-flight batches, drop unprocessed lines,
             # flush what was answered
-            while self._inflight:
-                self._finish_oldest(sel, fifo)
+            while fin.inflight:
+                got = fin.collect(timeout=None)
+                self._route(sel, fifo, got[0], got[1])
             self._drain_outboxes(sel)
         finally:
+            fin.close()
+            self._fin = None
             signal.signal(signal.SIGINT, old_int)
             signal.signal(signal.SIGTERM, old_term)
             for key in list(sel.get_map().values()):
@@ -406,21 +470,21 @@ class TCPQueryServer:
 
     def _dispatch(self, sel, fifo: deque) -> None:
         """Take up to max_batch lines (FIFO across clients), dispatch ONE
-        batched search asynchronously; replies route when the device batch
-        lands (_finish_oldest) — the event loop keeps draining sockets in
-        the meantime."""
+        batched search asynchronously, hand it to the finisher thread;
+        replies route when it completes (_route) — the event loop keeps
+        draining sockets in the meantime."""
         take = min(len(fifo), self._max_batch)
         batch = [fifo.popleft() for _ in range(take)]
         lines = [ln for _, ln in batch]
         pending = dispatch_query_lines(
             lines, backend=self._backend, lenient=self._lenient,
             json_out=self._json, mesh=self._mesh)
-        self._inflight.append((batch, pending))
+        self._fin.submit(pending, tag=batch)
 
-    def _finish_oldest(self, sel, fifo: deque) -> None:
-        """Fetch + route the oldest in-flight batch's replies."""
-        batch, pending = self._inflight.popleft()
-        outputs, nq, dt = pending.finish()
+    def _route(self, sel, fifo: deque, batch, payload) -> None:
+        """Route one completed batch's replies (main thread: this touches
+        the selector and connection state, which the finisher must not)."""
+        outputs, nq, dt = payload
         nconns = len({id(c) for c, _ in batch})
         for (conn, _), out in zip(batch, outputs):
             conn.npending = max(0, conn.npending - 1)
