@@ -130,7 +130,7 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
     (in-graph f32 argmax instead of checkable top-k)."""
     key = ("f32", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
            l2p, interpret)
-    cached = _PALLAS_RUNNERS.get(key)
+    cached = _cache_get(_PALLAS_RUNNERS, key)
     if cached is not None:
         return cached
 
@@ -151,8 +151,7 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
              jax.lax.bitcast_convert_type(total[bi, best], jnp.int32)],
             axis=1)
 
-    _PALLAS_RUNNERS[key] = run
-    return run
+    return _cache_put(_PALLAS_RUNNERS, key, run)
 
 
 def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
@@ -179,6 +178,31 @@ def batched_pallas_winners(c1b, c2b, noffs, tables: ScoringTables,
 
 
 _EXACT_RUNNERS: dict = {}
+# A long-lived server streaming queries with UNBOUNDED weight/shape
+# diversity would otherwise accumulate one jitted runner (and its XLA
+# executable) per distinct configuration forever; evicting the least
+# recently used entry drops the last reference so the executable can be
+# collected.  The cap is generous — eviction costs a recompile, and real
+# serving traffic has a handful of configurations.
+_RUNNER_CACHE_CAP = 128
+
+
+def _cache_put(cache: dict, key, value):
+    """Insert with LRU eviction (dicts preserve insertion order)."""
+    cache[key] = value
+    while len(cache) > _RUNNER_CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    return value
+
+
+def _cache_get(cache: dict, key):
+    """Lookup that refreshes recency (move-to-end on hit)."""
+    v = cache.get(key)
+    if v is not None:
+        del cache[key]
+        cache[key] = v
+    return v
+
 
 TOPK = 32
 
@@ -357,7 +381,7 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
     """
     key = (tuple(tables.weights.tolist()), tables.is_max, l1k, l2p,
            interpret, k)
-    cached = _EXACT_RUNNERS.get(key)
+    cached = _cache_get(_EXACT_RUNNERS, key)
     if cached is not None:
         return cached
 
@@ -390,8 +414,7 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
             step, 0, (c1b, c2b, noffs))
         return pack_epilogue_outputs(topi, stats_k, near, best, compact)
 
-    _EXACT_RUNNERS[key] = run
-    return run
+    return _cache_put(_EXACT_RUNNERS, key, run)
 
 
 def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
@@ -405,7 +428,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     """
     key = ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
            l2p, interpret, k)
-    cached = _EXACT_RUNNERS.get(key)
+    cached = _cache_get(_EXACT_RUNNERS, key)
     if cached is not None:
         return cached
 
@@ -421,8 +444,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
             compact)
 
-    _EXACT_RUNNERS[key] = run
-    return run
+    return _cache_put(_EXACT_RUNNERS, key, run)
 
 
 def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
@@ -443,7 +465,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
     key = ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
            b, l1k, l2p, mesh_key, interpret, k)
-    cached = _EXACT_RUNNERS.get(key)
+    cached = _cache_get(_EXACT_RUNNERS, key)
     if cached is not None:
         return cached
 
@@ -466,8 +488,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
                            in_specs=(P(axis),),
                            out_specs=P(axis),
                            check_vma=False))   # pallas_call can't carry vma
-    _EXACT_RUNNERS[key] = fn
-    return fn
+    return _cache_put(_EXACT_RUNNERS, key, fn)
 
 
 def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,

@@ -545,3 +545,24 @@ def test_batched_exact_noncompact_gate_end_to_end():
     got = rs[0]
     assert (got.offset, got.char_offset, got.sub_code, got.score) == (
         ref.offset, ref.char_offset, ref.sub_code, ref.score)
+
+
+def test_runner_cache_lru_eviction():
+    """The runner caches evict least-recently-used entries past the cap so
+    a long-lived server with unbounded weight diversity cannot accumulate
+    XLA executables forever."""
+    from psa_tpu.models import batch as bm
+
+    cache: dict = {}
+    old = bm._RUNNER_CACHE_CAP
+    try:
+        bm._RUNNER_CACHE_CAP = 3
+        for i in range(5):
+            bm._cache_put(cache, i, f"r{i}")
+        assert list(cache) == [2, 3, 4]
+        assert bm._cache_get(cache, 2) == "r2"     # refreshes recency
+        bm._cache_put(cache, 5, "r5")
+        assert list(cache) == [4, 2, 5]            # 3 evicted, 2 kept
+        assert bm._cache_get(cache, 99) is None
+    finally:
+        bm._RUNNER_CACHE_CAP = old
