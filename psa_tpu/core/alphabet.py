@@ -78,10 +78,11 @@ def encode_batch_padded(seqs, length: int) -> np.ndarray:
     array with ONE table gather — per-query encode+pad cost ~115us/query in
     small-array overhead at serving shapes; this is ~25x cheaper.
 
-    int8 IS the device wire format (models/batch.pack_query_inputs), so
-    emitting it directly also deletes a whole-batch int32 buffer + cast
-    from the serve hot path (codes are always positive table indices, and
-    every host consumer either indexes with them or converts itself)."""
+    int8 is the smallest dtype the 5-bit wire packer
+    (models/batch.pack_code_rows) reads, so emitting it directly deletes a
+    whole-batch int32 buffer + cast from the serve hot path (codes are
+    always positive table indices, and every host consumer either indexes
+    with them or converts itself)."""
     buf = np.full((len(seqs), length), PAD_CODE, np.int8)
     joined = "".join(seqs).encode("ascii", errors="replace")
     codes = _ENC8[np.frombuffer(joined, np.uint8)]

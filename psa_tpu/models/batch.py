@@ -9,6 +9,8 @@ The winner reduction stays in-graph so only (B, 3) scalars leave the device.
 
 from __future__ import annotations
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,23 +187,30 @@ _EXACT_RUNNERS: dict = {}
 # collected.  The cap is generous — eviction costs a recompile, and real
 # serving traffic has a handful of configurations.
 _RUNNER_CACHE_CAP = 128
+# One lock for every runner cache: the Finisher thread refills the
+# dispatch window (building runners) concurrently with the serve loop's
+# own dispatches — an unlocked del-then-reinsert could KeyError or drop a
+# hot runner into a ~0.8s re-trace.
+_CACHE_LOCK = threading.Lock()
 
 
 def _cache_put(cache: dict, key, value):
     """Insert with LRU eviction (dicts preserve insertion order)."""
-    cache[key] = value
-    while len(cache) > _RUNNER_CACHE_CAP:
-        cache.pop(next(iter(cache)))
+    with _CACHE_LOCK:
+        cache[key] = value
+        while len(cache) > _RUNNER_CACHE_CAP:
+            cache.pop(next(iter(cache)))
     return value
 
 
 def _cache_get(cache: dict, key):
     """Lookup that refreshes recency (move-to-end on hit)."""
-    v = cache.get(key)
-    if v is not None:
-        del cache[key]
-        cache[key] = v
-    return v
+    with _CACHE_LOCK:
+        v = cache.get(key)
+        if v is not None:
+            del cache[key]
+            cache[key] = v
+        return v
 
 
 TOPK = 32
@@ -325,6 +334,33 @@ def _packed_words(n: int) -> int:
     return (n + _PACK - 1) // _PACK
 
 
+def pack_code_rows(codes) -> np.ndarray:
+    """(B, n) codes -> (B, ceil(n/6)) int32 words, 5 bits per code (host).
+
+    THE upload wire format, shared by every path that ships sequences to
+    the device (batch microbatches, the sharded single-query search)."""
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    codes = np.asarray(codes)
+    n = codes.shape[1]
+    w = _packed_words(n)
+    if w * _PACK != n:
+        codes = np.pad(codes, ((0, 0), (0, w * _PACK - n)),
+                       constant_values=PAD_CODE)
+    out = codes[:, 0::_PACK].astype(np.int32)   # word i holds codes
+    for j in range(1, _PACK):                   # [6i .. 6i+5]
+        out |= codes[:, j::_PACK].astype(np.int32) << (5 * j)
+    return out
+
+
+def unpack_code_rows(words, n: int):
+    """In-graph inverse of `pack_code_rows`: (B, w) words -> (B, n) int32."""
+    parts = [jax.lax.shift_right_logical(words, 5 * j) & 31
+             for j in range(_PACK)]
+    full = jnp.stack(parts, axis=-1).reshape(words.shape[0], -1)
+    return full[:, :n]
+
+
 def pack_query_inputs(c1b, c2b, noffs) -> np.ndarray:
     """Pack a batch's inputs into ONE (B, w1 + w2 + 1) int32 array (host).
 
@@ -336,23 +372,9 @@ def pack_query_inputs(c1b, c2b, noffs) -> np.ndarray:
     0.67 B/char on the wire instead of 1 (int8) or 4 (raw int32).
     Layout per row: [c1 words (w1) | c2 words (w2) | noff].
     """
-    b = c1b.shape[0]
-
-    def pack(codes):
-        from psa_tpu.core.alphabet import PAD_CODE
-
-        n = codes.shape[1]
-        w = _packed_words(n)
-        if w * _PACK != n:
-            codes = np.pad(codes, ((0, 0), (0, w * _PACK - n)),
-                           constant_values=PAD_CODE)
-        out = codes[:, 0::_PACK].astype(np.int32)   # word i holds codes
-        for j in range(1, _PACK):                   # [6i .. 6i+5]
-            out |= codes[:, j::_PACK].astype(np.int32) << (5 * j)
-        return out
-
+    b = np.asarray(c1b).shape[0]
     return np.concatenate(
-        [pack(np.asarray(c1b)), pack(np.asarray(c2b)),
+        [pack_code_rows(c1b), pack_code_rows(c2b),
          np.asarray(noffs, np.int32).reshape(b, 1)], axis=1)
 
 
@@ -360,15 +382,8 @@ def unpack_query_inputs(inbuf, l1k: int, l2p: int):
     """In-graph inverse of `pack_query_inputs` (jittable shifts + masks)."""
     w1 = _packed_words(l1k)
     w2 = _packed_words(l2p)
-
-    def unpack(words, n):
-        parts = [jax.lax.shift_right_logical(words, 5 * j) & 31
-                 for j in range(_PACK)]
-        full = jnp.stack(parts, axis=-1).reshape(words.shape[0], -1)
-        return full[:, :n]
-
-    c1b = unpack(inbuf[:, :w1], l1k)
-    c2b = unpack(inbuf[:, w1:w1 + w2], l2p)
+    c1b = unpack_code_rows(inbuf[:, :w1], l1k)
+    c2b = unpack_code_rows(inbuf[:, w1:w1 + w2], l2p)
     return c1b, c2b, inbuf[:, w1 + w2]
 
 
@@ -475,8 +490,8 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     compact = epilogue_compact(l1k - l2p, l2p)
 
     def local(inbuf):
-        # ONE packed int8 upload, sharded on the batch axis (each row is
-        # one query: codes + noff bytes); unpacked in-graph per shard
+        # ONE packed upload (5-bit code words + noff, pack_query_inputs),
+        # sharded on the batch axis; unpacked in-graph per shard
         c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
         stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
                                           interpret)
@@ -668,7 +683,7 @@ def batched_search_exact_async(c1b, c2b, noffs, n2s, tables: ScoringTables,
         else:
             run = make_batched_exact_runner(tables, l1k, l2p,
                                             bool(interpret), k)
-        # ONE packed int8 upload + async dispatch; the packed int32 output
+        # ONE packed upload (5-bit code words) + async dispatch; the output
         # is fetched later in the finish stage (the remote-TPU tunnel
         # charges per round trip, not per byte)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))

@@ -39,30 +39,20 @@ def make_mesh(devices=None, axis: str = "op") -> Mesh:
 
 
 def _pack_codes_host(codes: np.ndarray) -> np.ndarray:
-    """Host-side 5-bit packing of one padded code vector (6 codes per int32
-    word — models/batch.pack_query_inputs' wire discipline for the sharded
-    path: the tunnel is bandwidth-bound, so the 100k-char north-star Seq1
-    ships as 67 KB instead of 400 KB)."""
-    from psa_tpu.core.alphabet import PAD_CODE
-    from psa_tpu.models.batch import _PACK, _packed_words
+    """5-bit packing of one padded code vector — the shared upload wire
+    format (models/batch.pack_code_rows on a single row: the tunnel is
+    bandwidth-bound, so the 100k-char north-star Seq1 ships as 67 KB
+    instead of 400 KB)."""
+    from psa_tpu.models.batch import pack_code_rows
 
-    n = codes.shape[0]
-    w = _packed_words(n)
-    if w * _PACK != n:
-        codes = np.pad(codes, (0, w * _PACK - n), constant_values=PAD_CODE)
-    out = codes[0::_PACK].astype(np.int32)
-    for j in range(1, _PACK):
-        out |= codes[j::_PACK].astype(np.int32) << (5 * j)
-    return out
+    return pack_code_rows(codes[None, :])[0]
 
 
 def _unpack_codes_graph(words: jnp.ndarray, n: int) -> jnp.ndarray:
     """In-graph inverse of `_pack_codes_host` (shift+mask, replicated)."""
-    from psa_tpu.models.batch import _PACK
+    from psa_tpu.models.batch import unpack_code_rows
 
-    parts = [jax.lax.shift_right_logical(words, 5 * j) & 31
-             for j in range(_PACK)]
-    return jnp.stack(parts, axis=-1).reshape(-1)[:n]
+    return unpack_code_rows(words[None, :], n)[0]
 
 
 def _local_stats_jnp(c1_local, c2p, code_flat, noff_local: int, block: int = 512):

@@ -515,6 +515,7 @@ def _serve_loop(args, reader, mesh) -> int:
                   f"({served} total)", file=sys.stderr)
         return 0
 
+    abandon = False
     try:
         while True:
             # dispatch: a full batch whenever pipeline space exists; a
@@ -541,6 +542,9 @@ def _serve_loop(args, reader, mesh) -> int:
             if got is not None:
                 rc = flush(got[1])
                 if rc:
+                    # broken pipe: nobody reads further replies — exit
+                    # without waiting for in-flight fetches
+                    abandon = True
                     return rc
                 continue
             # oldest batch still in flight and pipeline has room: drain
@@ -550,7 +554,7 @@ def _serve_loop(args, reader, mesh) -> int:
             eof = eof or got_eof
             queued.extend(lines)
     finally:
-        fin.close()
+        fin.close(wait=not abandon)
     return 0
 
 

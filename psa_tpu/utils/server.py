@@ -40,8 +40,8 @@ import numpy as np
 class PendingReplies:
     """One in-flight serve chunk: parse errors already resolved, device
     batches dispatched (uploads + programs enqueued), replies completed by
-    `finish()`.  The serve loops keep draining client I/O while the device
-    computes, polling `ready()`."""
+    `finish()` — which the serve loops run on the Finisher thread so client
+    I/O keeps draining while the fetch RPC blocks."""
 
     __slots__ = ("_outputs", "_queries", "_slots", "_handles", "_finish",
                  "_t0", "_json")
@@ -51,19 +51,10 @@ class PendingReplies:
         self._outputs = outputs
         self._queries = queries
         self._slots = slots
-        self._handles = handles
+        self._handles = handles     # in-flight device outputs (kept alive)
         self._finish = finish_fn
         self._t0 = t0
         self._json = json_out
-
-    def ready(self) -> bool:
-        """True once every in-flight device output is materialized (a local
-        future check, not a device RPC); chunks with no device work are
-        immediately ready.  Host-engine buckets run inside finish()."""
-        try:
-            return all(h.is_ready() for h in self._handles)
-        except Exception:  # noqa: BLE001 - treat unpollable as ready;
-            return True    # finish() blocks (and degrades) correctly anyway
 
     def finish(self):
         """Complete the chunk -> (outputs, n_queries, seconds); blocks until
@@ -204,9 +195,14 @@ class Finisher:
             raise payload
         return tag, payload
 
-    def close(self) -> None:
+    def close(self, wait: bool = True) -> None:
+        """Stop the worker once queued batches drain.  wait=False abandons
+        in-flight work instead (the broken-pipe exit: nobody will read the
+        replies, and a slow fetch must not stall the exit — the daemon
+        thread dies with the process)."""
         self._in.put(None)
-        self._t.join(timeout=10)
+        if wait:
+            self._t.join(timeout=10)
 
 
 class _Conn:
