@@ -71,7 +71,7 @@ def _local_stats_jnp(c1_local, c2p, code_flat, noff_local: int, block: int = 512
     return out.reshape(-1, 5)
 
 
-_SHARDED_FNS: dict = {}
+_SHARDED_FNS: dict = {}   # LRU-capped via models/batch's locked helpers
 
 
 def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
@@ -85,7 +85,9 @@ def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
     key = (tuple(tables.weights.tolist()), tables.is_max, kernel,
            l1p, l2p, axis, tuple(d.id for d in mesh.devices.flat))
-    cached = _SHARDED_FNS.get(key)
+    from psa_tpu.models.batch import _cache_get, _cache_put
+
+    cached = _cache_get(_SHARDED_FNS, key)
     if cached is not None:
         return cached
 
@@ -119,8 +121,7 @@ def make_sharded_stats_fn(tables: ScoringTables, mesh: Mesh,
         out_specs=P(axis, None),
         check_vma=False,
     ), in_shardings=(repl, repl))
-    _SHARDED_FNS[key] = fn
-    return fn
+    return _cache_put(_SHARDED_FNS, key, fn)
 
 
 def sharded_offset_stats(codes1p: jnp.ndarray, codes2p: jnp.ndarray,
@@ -179,7 +180,9 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
     key = ("topk", tuple(tables.weights.tolist()), tables.is_max, kernel,
            l1p, l2p, k, axis, tuple(d.id for d in mesh.devices.flat))
-    cached = _SHARDED_FNS.get(key)
+    from psa_tpu.models.batch import _cache_get, _cache_put
+
+    cached = _cache_get(_SHARDED_FNS, key)
     if cached is not None:
         return cached
 
@@ -223,8 +226,7 @@ def make_sharded_topk_fn(tables: ScoringTables, mesh: Mesh,
         out_specs=P(axis, None),
         check_vma=False,
     ), in_shardings=(repl, repl, repl))
-    _SHARDED_FNS[key] = fn
-    return fn
+    return _cache_put(_SHARDED_FNS, key, fn)
 
 
 def _select_from_shard_topk(buf: np.ndarray, noff: int, l2p: int,
