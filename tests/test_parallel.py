@@ -24,12 +24,26 @@ def tables_min():
     return build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
 
 
+def _need_devices(n: int) -> None:
+    """Multi-device cases need the virtual 8-device CPU mesh; on real
+    hardware (PSA_TEST_PLATFORM=tpu, this machine has 1 chip) they skip
+    with the reason instead of failing an environment assumption."""
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices, have {len(jax.devices())} "
+                    "(CPU runs force an 8-device virtual mesh)")
+
+
 def test_eight_devices_available():
+    import os
+
+    if os.environ.get("PSA_TEST_PLATFORM", "cpu") != "cpu":
+        pytest.skip("virtual-mesh guard applies to forced-CPU runs only")
     assert len(jax.devices()) == 8
 
 
 @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
 def test_sharded_matches_single_chip(n_dev, tables_min):
+    _need_devices(n_dev)
     rng = np.random.default_rng(7)
     c1 = random_codes(rng, 3000)
     c2 = random_codes(rng, 700)
@@ -87,6 +101,7 @@ def test_sharded_massive_tie_falls_back_exactly(n_dev, tables_min):
     """>k offsets tie exactly in every shard: the in-graph top-k epilogue
     cannot certify the winner, so search_sharded must take the full-stats
     fallback and still return the canonical lowest-offset winner."""
+    _need_devices(n_dev)
     c1 = np.zeros(4000, np.int32)   # all 'A': every offset ties exactly
     c2 = np.zeros(600, np.int32)
     mesh = make_mesh(jax.devices()[:n_dev])
