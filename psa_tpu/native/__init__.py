@@ -103,6 +103,23 @@ def _self_test(lib) -> None:
         raise RuntimeError("native library self-test failed")
 
 
+_available: bool | None = None
+
+
+def available() -> bool:
+    """Memoized build-and-self-test probe; False means every native fast
+    path silently stays on its Python implementation (one build attempt
+    per process, never per call)."""
+    global _available
+    if _available is None:
+        try:
+            get_lib()
+            _available = True
+        except Exception:
+            _available = False
+    return _available
+
+
 def get_lib():
     global _lib
     with _lock:
@@ -132,6 +149,20 @@ def get_lib():
         lib.psa_offset_stats.argtypes = [
             _i32p, _i32p, ctypes.c_int32, _i8p, _i8p,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p,
+        ]
+        lib.psa_parse_chunk.restype = None
+        lib.psa_parse_chunk.argtypes = [
+            ctypes.c_char_p, _i64p, _i32p, ctypes.c_int32, ctypes.c_int32,
+            _i8p, _i32p, _f64p, _i8p, _i32p, _i32p, _i32p, _i32p,
+        ]
+        lib.psa_encode_padded.restype = None
+        lib.psa_encode_padded.argtypes = [
+            ctypes.c_char_p, _i64p, _i32p, ctypes.c_int32,
+            _i8p, ctypes.c_int32,
+        ]
+        lib.psa_pack5.restype = None
+        lib.psa_pack5.argtypes = [
+            _i8p, ctypes.c_int32, ctypes.c_int32, _i32p,
         ]
         lib.psa_rescore_multi.restype = None
         lib.psa_rescore_multi.argtypes = [
@@ -242,6 +273,67 @@ def rescore_multi_native(c1b: np.ndarray, c2b: np.ndarray, n2s: np.ndarray,
                           pair_w, diff, sub, int(tables.is_max),
                           qidx, offsets, k, totals, coffs, subs)
     return totals, coffs, subs
+
+
+# Line statuses returned by parse_chunk_native (must match psa_native.cpp).
+PARSE_OK = 0
+PARSE_BLANK = 1
+PARSE_FEW_TOKENS = 2
+PARSE_SEQ_ORDER = 3
+PARSE_ALPHABET = 4
+PARSE_FALLBACK = 5
+
+
+def parse_chunk_native(buf: bytes, line_off: np.ndarray,
+                       line_len: np.ndarray, check_alpha: bool):
+    """One C pass over a chunk of protocol lines: tokenize, parse weights,
+    record Seq1/Seq2 spans (offsets relative to each line start), mode, and
+    optionally validate the alphabet.  Lines the scanner cannot handle
+    bit-identically to Python (non-ASCII, exotic float literals) come back
+    as PARSE_FALLBACK for the caller to re-parse with utils/io.parse_input.
+
+    Returns (status, ntokens, weights(n,4), is_max, s1_off, s1_len, s2_off,
+    s2_len)."""
+    lib = get_lib()
+    n = line_off.shape[0]
+    line_off = np.ascontiguousarray(line_off, np.int64)
+    line_len = np.ascontiguousarray(line_len, np.int32)
+    status = np.empty(n, np.int8)
+    ntokens = np.empty(n, np.int32)
+    weights = np.empty((n, 4), np.float64)
+    is_max = np.empty(n, np.int8)
+    s1_off = np.empty(n, np.int32)
+    s1_len = np.empty(n, np.int32)
+    s2_off = np.empty(n, np.int32)
+    s2_len = np.empty(n, np.int32)
+    lib.psa_parse_chunk(buf, line_off, line_len, n, int(check_alpha),
+                        status, ntokens, weights.reshape(-1), is_max,
+                        s1_off, s1_len, s2_off, s2_len)
+    return status, ntokens, weights, is_max, s1_off, s1_len, s2_off, s2_len
+
+
+def encode_padded_native(buf: bytes, offs: np.ndarray, lens: np.ndarray,
+                         length: int) -> np.ndarray:
+    """(n, length) PAD-padded int8 code rows from sequence byte spans in one
+    C pass (core/alphabet.encode_batch_padded's fast path)."""
+    lib = get_lib()
+    n = offs.shape[0]
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    out = np.empty((n, length), np.int8)
+    lib.psa_encode_padded(buf, offs, lens, n, out.reshape(-1), length)
+    return out
+
+
+def pack5_native(codes: np.ndarray) -> np.ndarray:
+    """(b, n) int8 codes -> (b, ceil(n/6)) int32 wire words (the 5-bit upload
+    format, models/batch.pack_code_rows's fast path)."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.int8)
+    b, n = codes.shape
+    out = np.empty((b, (n + 5) // 6), np.int32)
+    lib.psa_pack5(codes.reshape(-1), b, n, out.reshape(-1))
+    return out
 
 
 def offset_stats_native(codes1: np.ndarray, codes2: np.ndarray,

@@ -16,6 +16,8 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
+#include <cstring>
 #include <limits>
 
 #if defined(_OPENMP)
@@ -206,6 +208,205 @@ void psa_rescore_multi(const int32_t* c1b, int32_t l1_stride,
                     &out_totals[k], &out_char_offsets[k], &out_sub_codes[k]);
     }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native wire path: the serving front-end's per-chunk host work.
+//
+// The serve loops (utils/server.py) turn thousands of protocol lines into
+// device batches per chunk; the measured host cost of the Python pipeline
+// (per 1024-query chunk of 2048x512: parse 5.7 ms + alphabet validation
+// 10.4 ms + padded encode 9.9 ms + 5-bit wire pack 4.8 ms) bounds serving
+// throughput once the device round trip stops dominating (directly-attached
+// TPU: ~6.4 us/query device time).  These three entry points fuse that work
+// into single C passes over the chunk bytes.  Anything a simple byte-level
+// scanner cannot reproduce bit-identically to Python semantics (non-ASCII
+// lines, exotic float literals) is flagged for a per-line Python fallback
+// rather than approximated — the protocol contract stays defined by the
+// Python implementation.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Python str.split() whitespace, restricted to ASCII (non-ASCII lines are
+// routed to the Python fallback before reaching this code): space, \t-\r,
+// and the separator controls \x1c-\x1f (Py_UNICODE_ISSPACE includes them).
+inline bool is_py_space(uint8_t c) {
+    return c == ' ' || (c >= 0x09 && c <= 0x0D) || (c >= 0x1C && c <= 0x1F);
+}
+
+// Characters for which glibc strtod acceptance/value provably matches
+// Python float() on a full-token parse.  Everything else (inf/nan spellings,
+// hex floats, digit underscores) falls back to Python.
+inline bool is_simple_float_char(uint8_t c) {
+    return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' ||
+           c == 'e' || c == 'E';
+}
+
+const int8_t* enc_table() {
+    static int8_t t[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; ++i) t[i] = 27;      // OTHER_CODE
+        for (int i = 0; i < 26; ++i) t['A' + i] = static_cast<int8_t>(i);
+        t[static_cast<unsigned char>('-')] = 26;       // HYPHEN_CODE
+        init = true;
+    }
+    return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Line statuses (must match psa_tpu/native/__init__.py):
+//   0 ok   1 blank   2 too-few-tokens (ntokens set)   3 seq2 longer than
+//   seq1   4 out-of-alphabet sequence   5 needs-Python-fallback
+//
+// One pass per line over the chunk buffer: tokenize (Python str.split
+// semantics), parse the 4 weight tokens with strtod (full-consumption
+// check), record Seq1/Seq2 spans (offsets RELATIVE to the line start),
+// compare the mode token to "maximum", and optionally validate sequence
+// characters (A-Z and '-', matching core/alphabet.validate).  Lines are
+// independent -> OpenMP.
+void psa_parse_chunk(const uint8_t* buf, const int64_t* line_off,
+                     const int32_t* line_len, int32_t nlines,
+                     int32_t check_alpha,
+                     int8_t* status, int32_t* ntokens,
+                     double* weights /* (nlines,4) */, int8_t* is_max,
+                     int32_t* s1_off, int32_t* s1_len,
+                     int32_t* s2_off, int32_t* s2_len) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) if (nlines > 64)
+#endif
+    for (int32_t j = 0; j < nlines; ++j) {
+        const uint8_t* line = buf + line_off[j];
+        const int32_t len = line_len[j];
+        status[j] = 0;
+        ntokens[j] = 0;
+        is_max[j] = 0;
+
+        // Non-ASCII bytes mean the str<->byte index equivalence (and the
+        // ASCII whitespace model) no longer holds: Python handles the line.
+        bool ascii = true;
+        for (int32_t i = 0; i < len; ++i)
+            if (line[i] >= 0x80) { ascii = false; break; }
+        if (!ascii) { status[j] = 5; continue; }
+
+        // Tokenize: first 7 token spans; stop after the 7th (tokens past
+        // the mode are ignored, utils/io.parse_input / cpu_funcs.c:353-368).
+        int32_t tok_off[7], tok_len[7];
+        int nt = 0;
+        int32_t i = 0;
+        while (i < len && nt < 7) {
+            while (i < len && is_py_space(line[i])) ++i;
+            if (i >= len) break;
+            const int32_t start = i;
+            while (i < len && !is_py_space(line[i])) ++i;
+            tok_off[nt] = start;
+            tok_len[nt] = i - start;
+            ++nt;
+        }
+        if (nt == 0) { status[j] = 1; continue; }
+        if (nt < 7) {
+            // error message needs the FULL token count of the line
+            while (i < len) {
+                while (i < len && is_py_space(line[i])) ++i;
+                if (i >= len) break;
+                ++nt;
+                while (i < len && !is_py_space(line[i])) ++i;
+            }
+            status[j] = 2;
+            ntokens[j] = nt;
+            continue;
+        }
+        ntokens[j] = 7;
+
+        bool fallback = false;
+        for (int w = 0; w < 4 && !fallback; ++w) {
+            const int32_t tl = tok_len[w];
+            if (tl <= 0 || tl > 63) { fallback = true; break; }
+            char tmp[64];
+            for (int32_t k = 0; k < tl; ++k) {
+                const uint8_t c = line[tok_off[w] + k];
+                if (!is_simple_float_char(c)) { fallback = true; break; }
+                tmp[k] = static_cast<char>(c);
+            }
+            if (fallback) break;
+            tmp[tl] = '\0';
+            char* end = nullptr;
+            const double v = strtod(tmp, &end);
+            if (end != tmp + tl) { fallback = true; break; }
+            weights[4 * static_cast<int64_t>(j) + w] = v;
+        }
+        if (fallback) { status[j] = 5; continue; }
+
+        s1_off[j] = tok_off[4];
+        s1_len[j] = tok_len[4];
+        s2_off[j] = tok_off[5];
+        s2_len[j] = tok_len[5];
+        is_max[j] = (tok_len[6] == 7 &&
+                     memcmp(line + tok_off[6], "maximum", 7) == 0);
+        if (tok_len[5] > tok_len[4]) { status[j] = 3; continue; }
+        if (check_alpha) {
+            const int8_t* enc = enc_table();
+            bool ok = true;
+            for (int s = 4; s < 6 && ok; ++s)
+                for (int32_t k = 0; k < tok_len[s]; ++k)
+                    if (enc[line[tok_off[s] + k]] > 26) { ok = false; break; }
+            if (!ok) { status[j] = 4; continue; }
+        }
+    }
+}
+
+// Batch padded encode: sequence bytes (already ascii-replaced by the caller,
+// matching core/alphabet.encode_batch_padded) -> (n, stride) int8 code rows,
+// PAD_CODE(28)-filled tails, in one pass.  Replaces the numpy gather + the
+// per-row Python copy loop.
+void psa_encode_padded(const uint8_t* buf, const int64_t* offs,
+                       const int32_t* lens, int32_t n,
+                       int8_t* out, int32_t stride) {
+    const int8_t* enc = enc_table();
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) if (n > 64)
+#endif
+    for (int32_t r = 0; r < n; ++r) {
+        int8_t* row = out + static_cast<int64_t>(r) * stride;
+        const uint8_t* src = buf + offs[r];
+        const int32_t m = lens[r];
+        for (int32_t k = 0; k < m; ++k) row[k] = enc[src[k]];
+        memset(row + m, 28, static_cast<size_t>(stride - m));  // PAD_CODE
+    }
+}
+
+// 5-bit wire pack: (b, n) int8 codes -> (b, ceil(n/6)) int32 words, 6 codes
+// per word (models/batch.pack_code_rows).  Codes are <= 28 < 32; tail slots
+// pack PAD_CODE so the in-graph unpack sees inert padding.
+void psa_pack5(const int8_t* codes, int32_t b, int32_t n, int32_t* out) {
+    const int32_t w = (n + 5) / 6;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) if (b > 64)
+#endif
+    for (int32_t r = 0; r < b; ++r) {
+        const int8_t* row = codes + static_cast<int64_t>(r) * n;
+        int32_t* dst = out + static_cast<int64_t>(r) * w;
+        for (int32_t i = 0; i < w; ++i) {
+            int32_t word = 0;
+            const int32_t base = i * 6;
+            for (int32_t k = 0; k < 6; ++k) {
+                const int32_t p = base + k;
+                const int32_t c = (p < n) ? row[p] : 28;  // PAD_CODE
+                word |= c << (5 * k);
+            }
+            dst[i] = word;
+        }
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Per-offset integer stats (counts of 4 sign classes + max rank), matching
 // the device engines' contract — lets tests diff device output against

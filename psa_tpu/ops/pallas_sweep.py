@@ -644,8 +644,11 @@ def local_stats_pallas(c1_local: jnp.ndarray, c2p: jnp.ndarray,
                                    interpret).T
 
 
+@functools.lru_cache(maxsize=65536)
 def plan_shapes(n1: int, n2: int):
-    """Static padded shapes for a (n1, n2) problem."""
+    """Static padded shapes for a (n1, n2) problem.  Pure int math, memoized:
+    the serve path calls it per query while bucketing (models/batch.py), and
+    serving chunks repeat a handful of shapes thousands of times."""
     noff = n1 - n2 + 1
     l2p = round_up(max(n2, CHUNK), CHUNK)
     if l2p > MAX_CHUNK:

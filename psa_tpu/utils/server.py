@@ -34,8 +34,6 @@ import sys
 import time
 from collections import deque
 
-import numpy as np
-
 
 class PendingReplies:
     """One in-flight serve chunk: parse errors already resolved, device
@@ -82,35 +80,22 @@ def dispatch_query_lines(lines, *, backend: str, lenient: bool,
     a PendingReplies whose finish() yields the aligned reply lines.
     `outputs[j]` is the reply for `lines[j]` (None for blank lines, which
     get no reply)."""
-    from psa_tpu.core.alphabet import ALPHABET_ERROR, validate_batch
     from psa_tpu.models.batch import search_batch_async
-    from psa_tpu.utils.io import parse_input
+    from psa_tpu.utils.io import parse_query_lines
 
+    # parse + validate the whole chunk in one pass (native C scanner when
+    # available, Python otherwise — identical semantics either way)
     outputs: list = [None] * len(lines)
     queries, slots = [], []
-    for j, ln in enumerate(lines):
-        s = ln.strip()
-        if not s:
+    for j, ent in enumerate(parse_query_lines(lines,
+                                              check_alphabet=not lenient)):
+        if ent is None:
             continue
-        try:
-            q = parse_input(s)
-        except ValueError as e:
-            outputs[j] = (_error_json(str(e)) if json_out else f"error {e}")
-            continue
-        queries.append(q)
-        slots.append(j)
-    if queries and not lenient:
-        # one vectorized validity pass over the whole chunk (per-line
-        # ensure_valid cost ~1/3 of the serve loop's host time)
-        ok = (validate_batch([q.seq1 for q in queries])
-              & validate_batch([q.seq2 for q in queries]))
-        if not ok.all():
-            err = (_error_json(ALPHABET_ERROR) if json_out
-                   else f"error {ALPHABET_ERROR}")
-            for j in np.asarray(slots)[~ok]:
-                outputs[j] = err
-            queries = [q for q, good in zip(queries, ok) if good]
-            slots = [j for j, good in zip(slots, ok) if good]
+        if isinstance(ent, str):
+            outputs[j] = _error_json(ent) if json_out else f"error {ent}"
+        else:
+            queries.append(ent)
+            slots.append(j)
     t0 = time.perf_counter()
     if queries:
         handles, finish_fn = search_batch_async(
