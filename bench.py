@@ -138,6 +138,41 @@ def bench_golden(engine: str):
     return dt, ok
 
 
+def bench_serve_host(b: int = 512, n1: int = 2048, n2: int = 512):
+    """Deterministic host-side serving cost: parse + validate + encode +
+    wire-pack one serve chunk, no device involved (the direct-attach
+    serving ceiling; the native wire path when available).  Best of 3,
+    us/query."""
+    try:
+        from psa_tpu.core.alphabet import encode_batch_padded
+        from psa_tpu.models.batch import pack_query_inputs
+        from psa_tpu.ops.pallas_sweep import plan_shapes
+        from psa_tpu.utils.generator import random_sequences
+        from psa_tpu.utils.io import Query, parse_query_lines
+
+        lines = []
+        for i in range(b):
+            s1, s2 = random_sequences(n1, n2, seed=i)
+            lines.append(f"1 3 4 2 {s1} {s2} minimum")
+        _, _, l2p, l1k = plan_shapes(n1, n2)
+        noffs = np.full(b, n1 - n2 + 1, np.int32)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs = [q for q in parse_query_lines(lines) if isinstance(q, Query)]
+            c1b = encode_batch_padded([q.seq1 for q in qs], l1k)
+            c2b = encode_batch_padded([q.seq2 for q in qs], l2p)
+            pack_query_inputs(c1b, c2b, noffs)
+            best = min(best, time.perf_counter() - t0)
+        us = best * 1e6 / b
+        log(f"[bench] serve host dispatch side ({b}x {n1}x{n2}): "
+            f"{us:.1f} us/query")
+        return round(us, 2)
+    except Exception as e:  # noqa: BLE001 - a detail field, never fatal
+        log(f"[bench] serve host bench failed: {type(e).__name__}: {e}")
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -162,8 +197,8 @@ def main():
         # the repo's standing real-TPU artifacts (same kernel, measured on
         # chip earlier this round) so a tunnel outage at bench time doesn't
         # erase the recorded hardware numbers
-        log("[bench] last known TPU measurements: 3.50 ms/131072x8192 sweep"
-            " = 2.87e11 pair-evals/s (NORTHSTAR_r02.json, docs/DESIGN.md §6)")
+        log("[bench] last known TPU measurements: 3.23 ms/131072x8192 sweep"
+            " = 3.11e11 pair-evals/s (NORTHSTAR_r03.json, docs/DESIGN.md §6)")
     import jax
 
     from psa_tpu.utils.cache import enable_compilation_cache
@@ -241,12 +276,13 @@ def main():
             "roofline_doc": {"bound": "vpu", "mxu_util": 0.05,
                              "hbm_util": "negligible",
                              "source": "docs/DESIGN.md#6"},
+            "serve_host_dispatch_us_per_query": bench_serve_host(),
             **({"degraded": degraded,
                 "last_known_tpu": {
-                    "sweep_ms_131072x8192": 3.50,
-                    "pair_evals_per_sec": 2.87e11,
-                    "artifacts": ["NORTHSTAR_r02.json",
-                                  "CAMPAIGN_r02b.json"]}}
+                    "sweep_ms_131072x8192": 3.23,
+                    "pair_evals_per_sec": 3.11e11,
+                    "artifacts": ["NORTHSTAR_r03.json",
+                                  "CAMPAIGN_r03.json"]}}
                if degraded else {}),
         },
     }
