@@ -254,6 +254,12 @@ def build_tables(weights, is_max: bool) -> ScoringTables:
     """Build all constant tables for one configuration (pure NumPy, f64)."""
     w = np.asarray(weights, dtype=np.float64)
     assert w.shape == (4,)
+    if not np.isfinite(w).all():
+        # inf/nan weights would produce inf/NaN diff values, breaking the
+        # rank construction below and every selection epsilon band — the
+        # parse layer rejects them too (utils/io.parse_input), this is the
+        # API-surface backstop (search_batch / AlignmentSearchEngine)
+        raise ValueError("weights must be finite (inf/nan rejected)")
 
     sign = _SIGN.copy()
 

@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <locale.h>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -244,16 +245,32 @@ inline bool is_simple_float_char(uint8_t c) {
            c == 'e' || c == 'E';
 }
 
+struct EncTable { int8_t t[256]; };
+
 const int8_t* enc_table() {
-    static int8_t t[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; ++i) t[i] = 27;      // OTHER_CODE
-        for (int i = 0; i < 26; ++i) t['A' + i] = static_cast<int8_t>(i);
-        t[static_cast<unsigned char>('-')] = 26;       // HYPHEN_CODE
-        init = true;
-    }
-    return t;
+    // C++11 magic static: thread-safe one-time init (psa_parse_chunk calls
+    // this from inside an OpenMP-parallel loop; a plain `static bool init`
+    // flag would be a formal data race on first concurrent use).
+    static const EncTable tab = [] {
+        EncTable e;
+        for (int i = 0; i < 256; ++i) e.t[i] = 27;     // OTHER_CODE
+        for (int i = 0; i < 26; ++i) e.t['A' + i] = static_cast<int8_t>(i);
+        e.t[static_cast<unsigned char>('-')] = 26;      // HYPHEN_CODE
+        return e;
+    }();
+    return tab.t;
+}
+
+// strtod is LC_NUMERIC-dependent: an embedding process with a comma-decimal
+// locale would reject every '.'-decimal weight token (conservative — the
+// line degrades to Python fallback — but it silently kills the fast path).
+// Parse against a cached "C" numeric locale so acceptance and value are
+// locale-independent by construction.  newlocale failure (0) falls back to
+// plain strtod.
+locale_t c_numeric_locale() {
+    static const locale_t loc =
+        newlocale(LC_NUMERIC_MASK, "C", static_cast<locale_t>(0));
+    return loc;
 }
 
 }  // namespace
@@ -336,7 +353,9 @@ void psa_parse_chunk(const uint8_t* buf, const int64_t* line_off,
             if (fallback) break;
             tmp[tl] = '\0';
             char* end = nullptr;
-            const double v = strtod(tmp, &end);
+            const locale_t lc = c_numeric_locale();
+            const double v = lc ? strtod_l(tmp, &end, lc)
+                                : strtod(tmp, &end);
             if (end != tmp + tl) { fallback = true; break; }
             weights[4 * static_cast<int64_t>(j) + w] = v;
         }

