@@ -318,12 +318,86 @@ def main():
     log(f"[campaign] hybrid {n_hybrid} cases "
         f"({time.perf_counter()-t0:.0f}s)")
 
+    # --- regime 7: oversized streaming kernel paths -------------------------
+    # Seq1 beyond the VMEM-resident budget (the B=1 HBM-streaming
+    # _sweep_pallas_hbm1 route) and Seq2 beyond the resident scratch budget
+    # (the batched kernel's non-resident per-chunk-window branch), both
+    # forced by shrinking the budgets so interpret-mode shapes stay small.
+    # Each was verified once by hand on hardware (1M x 2048 / 600k x 250k);
+    # this guards them against regressions on every campaign run.
+    import psa_tpu.ops.pallas_sweep as ps
+    from psa_tpu.models.batch import batched_search_exact as _bse
+
+    n_stream = 0
+    n_r7 = max(args.cases // 40, 2)
+    saved = (ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET)
+    try:
+        for case in range(n_r7):
+            w = random_weights()
+            is_max = bool(rng.integers(0, 2))
+            t = build_tables(w, is_max)
+
+            # 7a: Seq1-streaming stats (hbm1 B=1 route) vs the oracle
+            ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET = 1024, saved[1]
+            n2 = int(rng.integers(200, 600))
+            n1 = n2 + int(rng.integers(4000, 9000))
+            c1, c2 = random_codes(n1, 0.05), random_codes(n2, 0.05)
+            counts, maxrank = ps.offset_stats_pallas(c1, c2, t,
+                                                     interpret=True)
+            rc, rm = offset_stats_numpy(c1, c2, t)
+            n_stream += 1
+            if not (np.array_equal(counts, rc)
+                    and np.array_equal(maxrank, rm)):
+                mismatches.append({"regime": "streaming-seq1", "case": case,
+                                   "w": w.tolist(), "is_max": is_max})
+
+            # 7b: Seq2 non-resident batched branch, end-to-end exact
+            ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET = saved[0], 1024
+            n2 = int(rng.integers(300, 700))
+            n1 = n2 + int(rng.integers(500, 2000))
+            _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+            B = int(rng.integers(2, 5))
+            c1b = np.stack([pad_codes(random_codes(n1, 0.05), l1k)
+                            for _ in range(B)])
+            c2b = np.stack([pad_codes(random_codes(n2, 0.05), l2p)
+                            for _ in range(B)])
+            assert not ps._batched_resident(ps.pick_tile(noff_pad), l2p)
+            rs = _bse(c1b, c2b, np.full(B, n1 - n2 + 1, np.int32),
+                      np.full(B, n2, np.int32), t, interpret=True)
+            ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+            for q in range(B):
+                n_stream += 1
+                try:
+                    r = ref_eng.search_codes(c1b[q][:n1], c2b[q][:n2])
+                    want = (r.offset, r.char_offset, r.sub_code, r.score)
+                except NoMutationFound:
+                    want = None
+                except Exception as ex:  # noqa: BLE001
+                    want = type(ex).__name__
+                got = rs[q]
+                got = (None if got is None else
+                       (got.offset, got.char_offset, got.sub_code, got.score))
+                if got != want:
+                    mismatches.append({"regime": "streaming-seq2",
+                                       "case": case, "q": q,
+                                       "got": str(got), "want": str(want),
+                                       "w": w.tolist(), "is_max": is_max})
+            log(f"[campaign] streaming {case+1}/{n_r7} "
+                f"({time.perf_counter()-t0:.0f}s)")
+            from psa_tpu.models import batch as _bm
+
+            _bm._EXACT_RUNNERS.clear()
+            jax.clear_caches()
+    finally:
+        ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET = saved
+
     out = {
         "metric": "parity_campaign",
         "seed": args.seed,
         "checks": {"e2e": n_e2e, "multitile_stats": n_stats,
                    "batch_queries": n_batch, "sharded_queries": n_sharded,
-                   "serve_queries": n_serve, "hybrid": n_hybrid},
+                   "serve_queries": n_serve, "hybrid": n_hybrid,
+                   "streaming": n_stream},
         "mismatches": mismatches,
         "ok": not mismatches,
         "seconds": round(time.perf_counter() - t0, 1),

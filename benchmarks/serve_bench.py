@@ -48,6 +48,13 @@ def main():
                          "its reply — measures per-query service latency "
                          "(p50/p99) under N concurrent clients instead of "
                          "offered-load throughput")
+    ap.add_argument("--cold-inject", type=int, default=0, metavar="N",
+                    help="closed-loop only: inject N queries of a fresh "
+                         "never-compiled shape bucket (n1+1024 x n2) spread "
+                         "through the timed wave — measures cold-bucket tail "
+                         "latency under the warmup + host-routing machinery "
+                         "(replies must come from the host engine instead of "
+                         "waiting out a Mosaic compile)")
     args = ap.parse_args()
 
     from psa_tpu.utils.generator import random_sequences
@@ -191,19 +198,21 @@ def run_tcp(args, cmd, lines):
     def client(shard, out, lats):
         s = socket.create_connection(("127.0.0.1", port), timeout=3600)
         if args.closed_loop:
-            # one query in flight per client: per-query service latency
+            # one query in flight per client: per-query service latency.
+            # shard entries are (line, is_cold) so cold-injected queries'
+            # latencies can be reported separately.
             f = s.makefile("rw", newline="\n")
-            for q in shard:
+            for q, cold in shard:
                 t0 = time.perf_counter()
                 f.write(q + "\n")
                 f.flush()
                 r = f.readline()
-                lats.append(time.perf_counter() - t0)
+                lats.append((time.perf_counter() - t0, cold))
                 out.append(r.rstrip("\n"))
             f.close()
             s.close()
             return
-        s.sendall(("\n".join(shard) + "\n").encode())
+        s.sendall(("\n".join(q for q, _ in shard) + "\n").encode())
         s.shutdown(socket.SHUT_WR)
         buf = b""
         while True:
@@ -217,6 +226,9 @@ def run_tcp(args, cmd, lines):
     all_lats: list = []
 
     def wave(tag, wave_lines):
+        # normalize to (line, is_cold) entries
+        wave_lines = [q if isinstance(q, tuple) else (q, False)
+                      for q in wave_lines]
         shards = [wave_lines[i::args.tcp] for i in range(args.tcp)]
         outs = [[] for _ in shards]
         lats: list = []
@@ -242,8 +254,23 @@ def run_tcp(args, cmd, lines):
         return dt, shards, outs
 
     B = len(lines)
+    timed = [(q, False) for q in lines]
+    if args.cold_inject:
+        from psa_tpu.utils.generator import random_sequences as _rs
+
+        # a fresh (n1+1024, n2) shape = a new padded bucket the server has
+        # never compiled; spread the injections through the middle of the
+        # timed wave so they land in steady-state traffic
+        cold_lines = []
+        for s in range(args.cold_inject):
+            s1, s2 = _rs(args.n1 + 1024, args.n2, seed=10_000 + s)
+            cold_lines.append((f"1 3 4 2 {s1} {s2} minimum", True))
+        step = max(1, len(timed) // (len(cold_lines) + 1))
+        for j, cl in enumerate(cold_lines):
+            timed.insert(min(len(timed), (j + 1) * step + j), cl)
     wave("warm (startup+compile)", lines[: max(1, B // 4)])
-    dt, shards, outs = wave("timed", lines)
+    dt, shards, outs = wave("timed", timed)
+    B = len(timed)
 
     n_bad = 0
     if args.verify:
@@ -255,8 +282,13 @@ def run_tcp(args, cmd, lines):
         per = max(1, args.verify // max(1, len(shards)))
         checked = 0
         for sh, o in zip(shards, outs):
-            for i in np.linspace(0, len(sh) - 1, min(per, len(sh))).astype(int):
-                toks = sh[i].split()
+            idxs = set(np.linspace(0, len(sh) - 1,
+                                   min(per, len(sh))).astype(int).tolist())
+            # always verify every cold-injected reply: the host-routed
+            # fallback must be bit-identical, not just fast
+            idxs |= {i for i, (_, cold) in enumerate(sh) if cold}
+            for i in sorted(idxs):
+                toks = sh[i][0].split()
                 try:
                     res = eng.search(toks[4], toks[5])
                     want = "%d %g %s" % (res.offset, res.score,
@@ -276,13 +308,24 @@ def run_tcp(args, cmd, lines):
               "clients": args.tcp, "serve_batch": args.serve_batch,
               "backend": args.backend, "mismatches": n_bad}
     if args.closed_loop and all_lats:
-        ms = np.asarray(all_lats) * 1e3
-        detail["latency_ms"] = {
-            "p50": round(float(np.percentile(ms, 50)), 2),
-            "p90": round(float(np.percentile(ms, 90)), 2),
-            "p99": round(float(np.percentile(ms, 99)), 2),
-            "mean": round(float(ms.mean()), 2),
-        }
+        def _pct(ms):
+            return {"p50": round(float(np.percentile(ms, 50)), 2),
+                    "p90": round(float(np.percentile(ms, 90)), 2),
+                    "p99": round(float(np.percentile(ms, 99)), 2),
+                    "mean": round(float(np.mean(ms)), 2),
+                    "max": round(float(np.max(ms)), 2),
+                    "n": int(len(ms))}
+
+        ms = np.asarray([lt for lt, _ in all_lats]) * 1e3
+        detail["latency_ms"] = _pct(ms)
+        if args.cold_inject:
+            cold_ms = np.asarray([lt for lt, c in all_lats if c]) * 1e3
+            if cold_ms.size:
+                detail["cold_bucket_latency_ms"] = _pct(cold_ms)
+                log(f"[serve_bench] cold-bucket p50/max = "
+                    f"{detail['cold_bucket_latency_ms']['p50']}/"
+                    f"{detail['cold_bucket_latency_ms']['max']} ms "
+                    f"({cold_ms.size} injected)")
         log(f"[serve_bench] closed-loop latency p50/p90/p99 = "
             f"{detail['latency_ms']['p50']}/{detail['latency_ms']['p90']}/"
             f"{detail['latency_ms']['p99']} ms")

@@ -199,7 +199,10 @@ def _cache_put(cache: dict, key, value):
     with _CACHE_LOCK:
         cache[key] = value
         while len(cache) > _RUNNER_CACHE_CAP:
-            cache.pop(next(iter(cache)))
+            evicted = next(iter(cache))
+            cache.pop(evicted)
+            # the evicted executable is gone; a future dispatch recompiles
+            _WARM_KEYS.discard(evicted)
     return value
 
 
@@ -211,6 +214,205 @@ def _cache_get(cache: dict, key):
             del cache[key]
             cache[key] = v
         return v
+
+
+# Runner keys whose XLA executable has actually been BUILT (the jitted
+# callable compiled on a completed call, or an explicit warmup).  A key in
+# _EXACT_RUNNERS alone is not enough: jit compiles on first call, and a cold
+# Mosaic compile costs 30-1400 s through the remote-TPU tunnel — a latency a
+# serve reply must never wait on (SERVE_r03: p99 2209 ms vs p50 81 ms from
+# exactly one such stall).  Guarded by _CACHE_LOCK.
+_WARM_KEYS: set = set()
+
+
+def runner_is_warm(key) -> bool:
+    with _CACHE_LOCK:
+        return key in _WARM_KEYS
+
+
+def _mark_warm(key) -> None:
+    with _CACHE_LOCK:
+        _WARM_KEYS.add(key)
+
+
+def _mark_warm_after_first(run, key):
+    """Wrap a jitted runner so its key is marked warm once a call completes
+    (jit compiles synchronously inside the call, so returning == built)."""
+    state = {"done": False}
+
+    def wrapper(inbuf):
+        out = run(inbuf)
+        if not state["done"]:    # benign race: set-add is idempotent
+            state["done"] = True
+            _mark_warm(key)
+        return out
+
+    return wrapper
+
+
+def _default_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _fused_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
+                      interpret: bool, k: int):
+    return ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
+            l2p, interpret, k)
+
+
+def _mesh_cache_key(mesh: Mesh):
+    return (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+
+
+def _sharded_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
+                        mesh: Mesh, interpret: bool, k: int):
+    return ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
+            b, l1k, l2p, _mesh_cache_key(mesh), interpret, k)
+
+
+def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
+                        interpret: bool | None = None, k: int | None = None,
+                        mesh: Mesh | None = None,
+                        micro_b: int | None = None) -> set:
+    """The exact runner-cache keys a `batched_search_exact[_sharded]_async`
+    call for a b_n-query bucket would dispatch through — the cold-bucket
+    check and the warmup path both derive their work from this, so they can
+    never drift from the dispatch plan."""
+    from psa_tpu.config import CONFIG
+
+    if interpret is None:
+        interpret = _default_interpret()
+    if k is None:
+        k = TOPK
+    mb = int(micro_b) if micro_b else CONFIG.micro_batch
+    keys = set()
+    if mesh is None:
+        for s, e in microbatch_spans(b_n, mb):
+            keys.add(_fused_runner_key(tables, _round_batch(e - s, mb), l1k,
+                                       l2p, bool(interpret), k))
+    else:
+        ndev = mesh.devices.size
+        for s, e in microbatch_spans(b_n, mb * ndev):
+            per = _round_batch(-(-(e - s) // ndev), mb)
+            keys.add(_sharded_runner_key(tables, per * ndev, l1k, l2p, mesh,
+                                         bool(interpret), k))
+    return keys
+
+
+def warm_fused_runner(tables: ScoringTables, b: int, l1k: int, l2p: int,
+                      interpret: bool | None = None, k: int | None = None,
+                      mesh: Mesh | None = None) -> None:
+    """Pre-compile one bucket runner: build it, execute one all-PAD dummy
+    microbatch, and block until the result is ready.  After this returns,
+    a serve chunk hitting the same (weights, mode, b, l1k, l2p) bucket pays
+    zero compile latency.  The reference analog: it always answers with
+    whatever engine it has (cpu_funcs.c:135-150) — never block a reply on
+    device setup."""
+    import jax
+
+    from psa_tpu.core.alphabet import PAD_CODE
+
+    if interpret is None:
+        interpret = _default_interpret()
+    if k is None:
+        k = TOPK
+    if mesh is None:
+        run = make_batched_fused_runner(tables, b, l1k, l2p, bool(interpret),
+                                        k)
+    else:
+        run = make_batched_fused_sharded_runner(tables, b, l1k, l2p, mesh,
+                                                bool(interpret), k)
+    c1 = np.full((b, l1k), PAD_CODE, np.int8)
+    c2 = np.full((b, l2p), PAD_CODE, np.int8)
+    noffs = np.ones(b, np.int32)
+    # the runner wrapper marks the key warm when this call completes
+    jax.block_until_ready(run(jnp.asarray(pack_query_inputs(c1, c2, noffs))))
+
+
+class _Warmer:
+    """One background thread compiling cold bucket runners FIFO.
+
+    Single worker by design: concurrent Mosaic compiles contend for the
+    same compile service (and through the remote tunnel they serialize
+    anyway), and the serve loop must stay responsive while warms proceed.
+    Deduplicates by runner key, skipping keys already warm or queued."""
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._pending: set = set()      # guarded by _CACHE_LOCK
+        self._t = None
+
+    def submit(self, key, fn) -> bool:
+        with _CACHE_LOCK:
+            if key in _WARM_KEYS or key in self._pending:
+                return False
+            self._pending.add(key)
+            if self._t is None:
+                self._t = threading.Thread(target=self._run, daemon=True,
+                                           name="psa-warmer")
+                self._t.start()
+        self._q.put((key, fn))
+        return True
+
+    def _run(self):
+        import sys
+
+        while True:
+            key, fn = self._q.get()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 - warmup is best-effort
+                print(f"warning: background bucket warmup failed "
+                      f"({type(e).__name__}: {e}); the bucket stays on the "
+                      f"host engine", file=sys.stderr)
+            finally:
+                with _CACHE_LOCK:
+                    self._pending.discard(key)
+
+    def join(self, timeout: float = 600.0) -> bool:
+        """Wait until every queued warmup completed (tests/shutdown);
+        True when drained, False on timeout."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with _CACHE_LOCK:
+                idle = not self._pending
+            if idle and self._q.empty():
+                return True
+            time.sleep(0.01)
+        return False
+
+
+_WARMER = _Warmer()
+
+
+def warm_bucket_async(tables: ScoringTables, b: int, l1k: int, l2p: int,
+                      interpret: bool | None = None, k: int | None = None,
+                      mesh: Mesh | None = None) -> bool:
+    """Queue a background compile of one bucket runner (dedup by key);
+    True if newly queued."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if k is None:
+        k = TOPK
+    if mesh is None:
+        key = _fused_runner_key(tables, b, l1k, l2p, bool(interpret), k)
+    else:
+        key = _sharded_runner_key(tables, b, l1k, l2p, mesh, bool(interpret),
+                                  k)
+    return _WARMER.submit(
+        key, lambda: warm_fused_runner(tables, b, l1k, l2p, interpret, k,
+                                       mesh))
+
+
+def warmup_join(timeout: float = 600.0) -> bool:
+    """Block until background warmups drain (True) or timeout (False)."""
+    return _WARMER.join(timeout)
 
 
 TOPK = 32
@@ -452,8 +654,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     Replaces the lax.scan-of-sweeps runner whose ~350us/query dispatch
     overhead dominated serving-sized workloads.
     """
-    key = ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-           l2p, interpret, k)
+    key = _fused_runner_key(tables, b, l1k, l2p, interpret, k)
     cached = _cache_get(_EXACT_RUNNERS, key)
     if cached is not None:
         return cached
@@ -470,7 +671,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
             *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
             compact)
 
-    return _cache_put(_EXACT_RUNNERS, key, run)
+    return _cache_put(_EXACT_RUNNERS, key, _mark_warm_after_first(run, key))
 
 
 def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
@@ -488,9 +689,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
-    key = ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
-           b, l1k, l2p, mesh_key, interpret, k)
+    key = _sharded_runner_key(tables, b, l1k, l2p, mesh, interpret, k)
     cached = _cache_get(_EXACT_RUNNERS, key)
     if cached is not None:
         return cached
@@ -514,7 +713,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
                            in_specs=(P(axis),),
                            out_specs=P(axis),
                            check_vma=False))   # pallas_call can't carry vma
-    return _cache_put(_EXACT_RUNNERS, key, fn)
+    return _cache_put(_EXACT_RUNNERS, key, _mark_warm_after_first(fn, key))
 
 
 def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
@@ -863,7 +1062,7 @@ def search_batch(queries, backend: str = "auto",
 
 def search_batch_async(queries, backend: str = "auto",
                        strict_alphabet: bool = True,
-                       mesh: Mesh | None = None):
+                       mesh: Mesh | None = None, cold_route: bool = False):
     """Async `search_batch` for the serving tier.
 
     Device buckets dispatch immediately (one packed upload + enqueued
@@ -875,9 +1074,15 @@ def search_batch_async(queries, backend: str = "auto",
     no legal mutation).  Same failure semantics as `search_batch`: a device
     failure at dispatch OR fetch time degrades that bucket to the host
     engine instead of failing the batch.
+
+    cold_route=True additionally routes any bucket whose device runner is
+    not yet COMPILED to the host engine for this call while a background
+    thread compiles it (warm_bucket_async) — a reply must never wait out a
+    Mosaic compile (30-1400 s cold through the remote tunnel; SERVE_r03's
+    p99 was one such stall).  Subsequent calls hit the warm runner.
     """
     return _search_batch_impl(queries, backend, strict_alphabet, mesh,
-                              defer=True)
+                              defer=True, cold_route=cold_route)
 
 
 def _host_engine_bucket(queries, idxs, results: list, w, is_max,
@@ -921,7 +1126,8 @@ def _warn_degrade(e: Exception) -> None:
 
 
 def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
-                       mesh: Mesh | None, defer: bool):
+                       mesh: Mesh | None, defer: bool,
+                       cold_route: bool = False):
     """Shared body of search_batch / search_batch_async -> (handles, finish)."""
     from psa_tpu.core.alphabet import encode_batch_padded, validate_batch
     from psa_tpu.core.tables import build_tables_cached
@@ -972,6 +1178,20 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
         else:
             use_device = backend == "pallas"
         device_failed = False
+        cold_routed = False
+        if use_device and cold_route:
+            # never block replies on a compile: a bucket whose runner is
+            # not built yet answers from the host engine THIS call while
+            # the single background warmer compiles it
+            tables_cr = build_tables_cached(np.asarray(w), is_max)
+            missing = [kk for kk in planned_runner_keys(
+                tables_cr, len(idxs), l1k, l2p, mesh=mesh)
+                if not runner_is_warm(kk)]
+            if missing:
+                for kk in missing:
+                    warm_bucket_async(tables_cr, kk[3], l1k, l2p, mesh=mesh)
+                use_device = False
+                cold_routed = True
         if use_device:
             tables = build_tables_cached(np.asarray(w), is_max)
             c1b = encode_batch_padded([queries[i].seq1 for i in idxs], l1k)
@@ -1024,7 +1244,10 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                         results[i] = r
         if not use_device:
             host_backend = backend
-            if backend == "pallas" or (device_failed and backend == "auto"):
+            if backend == "pallas" or ((device_failed or cold_routed)
+                                       and backend == "auto"):
+                # "auto" would resolve large queries straight back into the
+                # failing/cold device path — force a host engine
                 host_backend = _device_failure_fallback(backend)
 
             def fin_host(idxs=idxs, w=w, is_max=is_max,

@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-batch", type=int, default=256, metavar="N",
                    help="max queries coalesced into one dispatch in --serve "
                         "mode (default 256)")
+    p.add_argument("--warmup", metavar="FILE", default=None,
+                   help="with --serve: pre-compile the device runners for "
+                        "the (weights, shape-bucket)s of the query lines in "
+                        "FILE before serving starts, so those buckets never "
+                        "pay a cold compile inside the reply path (a cold "
+                        "Mosaic compile can take minutes; unwarmed buckets "
+                        "answer from the host engine while a background "
+                        "thread compiles them)")
     p.add_argument("--listen", default=None, metavar="HOST:PORT",
                    help="with --serve: answer TCP connections instead of "
                         "stdin — one event loop serves every client, and "
@@ -449,6 +457,10 @@ def _main_serve(args) -> int:
     from psa_tpu.utils.profiling import trace
 
     mesh = _batch_mesh(args)
+    if args.warmup:
+        rc = _serve_warmup(args, mesh)
+        if rc:
+            return rc
     t_start = time.perf_counter()
     tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     with tracer:
@@ -465,6 +477,57 @@ def _main_serve(args) -> int:
         print("total time: %g" % (time.perf_counter() - t_start),
               file=sys.stderr)
     return rc
+
+
+def _serve_warmup(args, mesh) -> int:
+    """--warmup FILE: synchronously pre-compile the device runners a full
+    serve chunk of each declared (weights, mode, shape-bucket) would
+    dispatch through (models/batch.warm_fused_runner).  Returns nonzero on
+    a bad warmup file; individual compile failures only warn (the bucket
+    then cold-routes to the host engine at serve time)."""
+    from psa_tpu.core.tables import build_tables_cached
+    from psa_tpu.models.batch import planned_runner_keys, warm_fused_runner
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+    from psa_tpu.utils.io import parse_query_lines
+
+    try:
+        with open(args.warmup) as f:
+            lines = f.read().splitlines()
+    except OSError as e:
+        print(f"error: cannot read --warmup file `{args.warmup}`: {e}",
+              file=sys.stderr)
+        return 2
+    buckets: dict = {}
+    for j, ent in enumerate(parse_query_lines(lines,
+                                              check_alphabet=not args.lenient)):
+        if ent is None:
+            continue
+        if isinstance(ent, str):
+            print(f"warning: --warmup line {j + 1} skipped: {ent}",
+                  file=sys.stderr)
+            continue
+        _, _, l2p, l1k = plan_shapes(len(ent.seq1), len(ent.seq2))
+        buckets[(tuple(float(x) for x in ent.weights), ent.is_max, l1k,
+                 l2p)] = None
+    chunk = max(1, args.serve_batch)
+    for w, is_max, l1k, l2p in buckets:
+        tables = build_tables_cached(np.asarray(w), is_max)
+        for key in sorted(planned_runner_keys(tables, chunk, l1k, l2p,
+                                              mesh=mesh),
+                          key=lambda kk: kk[3]):
+            t0 = time.perf_counter()
+            try:
+                warm_fused_runner(tables, key[3], l1k, l2p, mesh=mesh)
+            except Exception as e:  # noqa: BLE001 - warmup is best-effort
+                print(f"warning: warmup failed for bucket "
+                      f"(B={key[3]}, l1k={l1k}, l2p={l2p}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                continue
+            if not args.quiet:
+                print(f"[warmup] bucket B={key[3]} l1k={l1k} l2p={l2p} "
+                      f"{'max' if is_max else 'min'} compiled in "
+                      f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    return 0
 
 
 def _serve_loop(args, reader, mesh) -> int:

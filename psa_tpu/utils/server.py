@@ -73,8 +73,28 @@ class PendingReplies:
         return self._outputs, len(self._queries), dt
 
 
+def cold_route_default(backend: str) -> bool:
+    """Serving policy for models/batch's cold-bucket host routing: on a
+    real TPU a cold bucket means a 30-1400 s Mosaic compile inside the
+    reply path, so route it to the host engine while the background warmer
+    compiles; on CPU (tests, interpret mode) compiles are cheap and the
+    device path should be exercised directly.  PSA_COLD_ROUTE=0/1
+    overrides (tests and directly-attached deployments)."""
+    import os
+
+    env = os.environ.get("PSA_COLD_ROUTE")
+    if env is not None:
+        return env not in ("0", "", "false", "no")
+    if backend not in ("auto", "pallas"):
+        return False
+    from psa_tpu.utils.health import effective_platform
+
+    return effective_platform() == "tpu"   # memoized probe
+
+
 def dispatch_query_lines(lines, *, backend: str, lenient: bool,
-                         json_out: bool, mesh) -> PendingReplies:
+                         json_out: bool, mesh,
+                         cold_route: bool | None = None) -> PendingReplies:
     """Async front half of one serve chunk: parse + validate every line,
     dispatch the device buckets (models/batch.search_batch_async), return
     a PendingReplies whose finish() yields the aligned reply lines.
@@ -82,6 +102,9 @@ def dispatch_query_lines(lines, *, backend: str, lenient: bool,
     get no reply)."""
     from psa_tpu.models.batch import search_batch_async
     from psa_tpu.utils.io import parse_query_lines
+
+    if cold_route is None:
+        cold_route = cold_route_default(backend)
 
     # parse + validate the whole chunk in one pass (native C scanner when
     # available, Python otherwise — identical semantics either way)
@@ -99,7 +122,8 @@ def dispatch_query_lines(lines, *, backend: str, lenient: bool,
     t0 = time.perf_counter()
     if queries:
         handles, finish_fn = search_batch_async(
-            queries, backend=backend, strict_alphabet=False, mesh=mesh)
+            queries, backend=backend, strict_alphabet=False, mesh=mesh,
+            cold_route=cold_route)
     else:
         handles, finish_fn = [], (lambda: [])
     return PendingReplies(outputs, queries, slots, handles, finish_fn, t0,

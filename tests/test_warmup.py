@@ -1,0 +1,140 @@
+"""Bucket warmup + cold-bucket host routing (VERDICT r3 next-step #1).
+
+A serve reply must never wait out a Mosaic compile (30-1400 s cold through
+the remote-TPU tunnel): buckets whose runner is not yet compiled answer from
+the host engine while a single background thread compiles them
+(models/batch.warm_bucket_async), and `psa --serve --warmup FILE`
+pre-compiles declared buckets before serving starts.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import numpy as np
+
+from psa_tpu.core.tables import build_tables
+from psa_tpu.models import batch as bm
+from psa_tpu.utils.generator import random_sequences
+from psa_tpu.utils.io import Query
+
+
+def _queries(n=3, n1=600, n2=100, w=(1.0, 3.0, 4.0, 2.0)):
+    qs = []
+    for seed in range(n):
+        s1, s2 = random_sequences(n1, n2, seed=seed)
+        qs.append(Query(weights=np.asarray(w, np.float64), seq1=s1, seq2=s2,
+                        is_max=False))
+    return qs
+
+
+def _bucket_shapes(n1=600, n2=100):
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+
+    _, _, l2p, l1k = plan_shapes(n1, n2)
+    return l1k, l2p
+
+
+def test_warm_fused_runner_marks_planned_keys_warm():
+    # weights unique to this test: warm state is process-global
+    w = np.array([1.125, 3.375, 4.625, 2.875])
+    t = build_tables(w, False)
+    l1k, l2p = _bucket_shapes()
+    keys = bm.planned_runner_keys(t, 3, l1k, l2p)
+    assert len(keys) == 1
+    (key,) = keys
+    assert not bm.runner_is_warm(key)
+    bm.warm_fused_runner(t, key[3], l1k, l2p)
+    assert bm.runner_is_warm(key)
+    # and the planned keys mirror the dispatch plan exactly: a dispatch for
+    # the same bucket now hits the (warm) cached runner
+    assert bm._cache_get(bm._EXACT_RUNNERS, key) is not None
+
+
+def test_planned_keys_cover_multi_microbatch_and_sharded_plans():
+    import jax
+
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    t = build_tables(w, False)
+    l1k, l2p = _bucket_shapes()
+    ks = bm.planned_runner_keys(t, 2500, l1k, l2p, micro_b=1024)
+    assert sorted(k[3] for k in ks) == [512, 1024]   # 1024+1024+452->512
+    from psa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4], axis="dp")
+    ks = bm.planned_runner_keys(t, 6, l1k, l2p, mesh=mesh, micro_b=1024)
+    assert [k[0] for k in ks] == ["fused-sharded"]
+    assert sorted(k[3] for k in ks) == [8]          # ceil(6/4)->2 pow2, *4
+
+
+def test_cold_bucket_routes_to_host_then_warms(monkeypatch):
+    w = (1.0, 2.75, 4.5, 2.0)          # unique bucket for this test
+    qs = _queries(w=w)
+    calls = []
+    real = bm.batched_search_exact_async
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bm, "batched_search_exact_async", spy)
+
+    # chunk 1: bucket cold -> host engine answers, background warm queued
+    _, finish = bm.search_batch_async(qs, backend="pallas", cold_route=True)
+    rs1 = finish()
+    assert calls == []                 # no device dispatch on the cold chunk
+    assert all(r is not None for r in rs1)
+    assert bm.warmup_join(timeout=300)
+
+    # chunk 2: bucket warm -> device path, bit-identical results
+    _, finish = bm.search_batch_async(qs, backend="pallas", cold_route=True)
+    rs2 = finish()
+    assert calls                       # device dispatch happened
+    for a, b in zip(rs1, rs2):
+        assert (a.offset, a.char_offset, a.sub_code, a.score) == \
+            (b.offset, b.char_offset, b.sub_code, b.score)
+
+
+def test_cold_route_policy_env_override(monkeypatch):
+    from psa_tpu.utils.server import cold_route_default
+
+    monkeypatch.setenv("PSA_COLD_ROUTE", "1")
+    assert cold_route_default("native") is True
+    monkeypatch.setenv("PSA_COLD_ROUTE", "0")
+    assert cold_route_default("pallas") is False
+    monkeypatch.delenv("PSA_COLD_ROUTE")
+    assert cold_route_default("native") is False   # host backend: never
+    # forced-CPU test platform: compiles are cheap, no cold routing
+    assert cold_route_default("pallas") is False
+
+
+def test_cli_serve_warmup_precompiles(monkeypatch, capsys, tmp_path):
+    from psa_tpu.core.tables import build_tables_cached
+    from psa_tpu.utils.cli import main
+
+    w = (1.5, 3.25, 4.0, 2.0)          # unique bucket for this test
+    s1, s2 = random_sequences(600, 100, seed=42)
+    line = " ".join("%g" % x for x in w) + f" {s1} {s2} minimum"
+    wf = tmp_path / "warm.txt"
+    wf.write_text(line + "\n")
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(line + "\n"))
+    assert main(["--serve", "--quiet", "--backend", "pallas",
+                 "--serve-batch", "4", "--warmup", str(wf)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and not out[0].startswith("error")
+
+    # the full-chunk (B=4) runner the warmup compiled is warm
+    t = build_tables_cached(np.asarray(w), False)
+    l1k, l2p = _bucket_shapes()
+    for key in bm.planned_runner_keys(t, 4, l1k, l2p):
+        assert bm.runner_is_warm(key)
+
+
+def test_cli_warmup_missing_file_errors(monkeypatch, capsys):
+    from psa_tpu.utils.cli import main
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(""))
+    assert main(["--serve", "--quiet", "--warmup", "/nonexistent/w.txt"]) == 2
+    assert "cannot read --warmup" in capsys.readouterr().err
