@@ -87,18 +87,22 @@ def batched_device_winners(stats: jnp.ndarray, tables: ScoringTables,
 _PALLAS_RUNNERS: dict = {}
 
 
-def _fused_stats5(inbuf, tables: ScoringTables, b: int, l1k: int, l2p: int,
+def _fused_stats5(inbuf, code_tab, b: int, l1k: int, l2p: int,
                   interpret: bool):
     """Shared device front half of both batch runners: unpack the single
     packed input upload, run the fused whole-batch Pallas sweep, and return
     (stats5 (B, 5, noff_pad) int32, noffs (B,)) — rows 0-3 class counts,
-    row 4 maxrank, offset axis minor (the TPU-friendly layout)."""
+    row 4 maxrank, offset axis minor (the TPU-friendly layout).
+
+    code_tab: the (32, 32) fused code table (tables.code) as a VALUE —
+    a traced operand in the weights-generic runners (one compiled program
+    per shape serves any weights), or a captured constant elsewhere."""
     c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
-    return _fused_stats5_from_codes(c1b, c2b, tables, b, l1k, l2p,
+    return _fused_stats5_from_codes(c1b, c2b, code_tab, b, l1k, l2p,
                                     interpret), noffs
 
 
-def _fused_stats5_from_codes(c1b, c2b, tables: ScoringTables, b: int,
+def _fused_stats5_from_codes(c1b, c2b, code_tab, b: int,
                              l1k: int, l2p: int, interpret: bool):
     """Fused whole-batch sweep from (b, l1k)/(b, l2p) code arrays ->
     stats5 (b, 5, noff_pad) int32.  Also the per-shard body of the
@@ -109,7 +113,7 @@ def _fused_stats5_from_codes(c1b, c2b, tables: ScoringTables, b: int,
     noff_pad = l1k - l2p
     chunk = pick_chunk(l2p)
     nchunks = l2p // chunk
-    code_tab = jnp.asarray(tables.code)
+    code_tab = jnp.asarray(code_tab)
 
     s1c_all = jnp.broadcast_to(
         c1b.reshape(1, -1).astype(jnp.int8), (4, b * l1k))   # (4, B*l1q)
@@ -140,9 +144,12 @@ def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
 
     from psa_tpu.ops.common import keyed_f32_totals
 
+    code_tab = np.asarray(tables.code)
+
     @jax.jit
     def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
+        stats5, noffs = _fused_stats5(inbuf, code_tab, b, l1k, l2p,
+                                      interpret)
         keyed, total = keyed_f32_totals(stats5[:, :4, :], stats5[:, 4, :],
                                         tables, noffs, counts_axis=-2)
         best = jnp.argmax(keyed, axis=-1).astype(jnp.int32)
@@ -240,8 +247,8 @@ def _mark_warm_after_first(run, key):
     (jit compiles synchronously inside the call, so returning == built)."""
     state = {"done": False}
 
-    def wrapper(inbuf):
-        out = run(inbuf)
+    def wrapper(*args):
+        out = run(*args)
         if not state["done"]:    # benign race: set-add is idempotent
             state["done"] = True
             _mark_warm(key)
@@ -258,8 +265,17 @@ def _default_interpret() -> bool:
 
 def _fused_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
                       interpret: bool, k: int):
-    return ("fused", tuple(tables.weights.tolist()), tables.is_max, b, l1k,
-            l2p, interpret, k)
+    # NO weights in the key: the fused runners are weights-generic (the
+    # code/w/diff/eps tables enter as runtime operands), so one compiled
+    # program per (mode, batch, shapes) serves any weights — a new weights
+    # vector on a known bucket costs zero compiles.
+    return ("fusedW", tables.is_max, b, l1k, l2p, interpret, k)
+
+
+def runner_key_batch(key) -> int:
+    """The padded batch size a fused/sharded runner key was built for."""
+    assert key[0] in ("fusedW", "fused-shardedW"), key
+    return key[2]
 
 
 def _mesh_cache_key(mesh: Mesh):
@@ -268,8 +284,8 @@ def _mesh_cache_key(mesh: Mesh):
 
 def _sharded_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
                         mesh: Mesh, interpret: bool, k: int):
-    return ("fused-sharded", tuple(tables.weights.tolist()), tables.is_max,
-            b, l1k, l2p, _mesh_cache_key(mesh), interpret, k)
+    return ("fused-shardedW", tables.is_max, b, l1k, l2p,
+            _mesh_cache_key(mesh), interpret, k)
 
 
 def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
@@ -306,10 +322,10 @@ def warm_fused_runner(tables: ScoringTables, b: int, l1k: int, l2p: int,
                       mesh: Mesh | None = None) -> None:
     """Pre-compile one bucket runner: build it, execute one all-PAD dummy
     microbatch, and block until the result is ready.  After this returns,
-    a serve chunk hitting the same (weights, mode, b, l1k, l2p) bucket pays
-    zero compile latency.  The reference analog: it always answers with
-    whatever engine it has (cpu_funcs.c:135-150) — never block a reply on
-    device setup."""
+    a serve chunk hitting the same (mode, b, l1k, l2p) bucket pays zero
+    compile latency — for ANY weights (the runners are weights-generic).
+    The reference analog: it always answers with whatever engine it has
+    (cpu_funcs.c:135-150) — never block a reply on device setup."""
     import jax
 
     from psa_tpu.core.alphabet import PAD_CODE
@@ -433,6 +449,54 @@ def f32_band_epsilon(tables: ScoringTables, l2p: int) -> float:
     return 16.0 * np.float32(np.finfo(np.float32).eps) * max(s, 1.0)
 
 
+# Fixed operand length for the rank->diff table in the weights-generic
+# runners: distinct diff values are bounded by the 29x29 pair table
+# (<= 841), so every possible tables.diff_vals fits.  +1 slot preserves the
+# empty-diff_vals gather (see keyed_f32_totals_ops).
+NUM_RANKS_PAD = 896
+
+_WOP_CACHE: dict = {}
+
+
+def weights_operands(tables: ScoringTables):
+    """The weight-dependent tables as fixed-shape runtime operands for the
+    weights-generic runners: (code (32,32) int8, w32 (4,) f32,
+    diff32 (NUM_RANKS_PAD+1,) f32 zero-padded).  Cached per (weights, mode)
+    so repeat dispatches reuse the same arrays (and device transfers can be
+    deduped by the runtime)."""
+    key = (tuple(tables.weights.tolist()), tables.is_max)
+    ops = _WOP_CACHE.get(key)
+    if ops is None:
+        diff32 = np.zeros(NUM_RANKS_PAD + 1, np.float32)
+        nd = tables.diff_vals.size
+        assert nd <= NUM_RANKS_PAD, nd
+        diff32[:nd] = tables.diff_vals.astype(np.float32)
+        ops = (np.asarray(tables.code), tables.w_signed.astype(np.float32),
+               diff32)
+        if len(_WOP_CACHE) > 4 * _RUNNER_CACHE_CAP:
+            _WOP_CACHE.clear()       # unbounded weight diversity guard
+        _WOP_CACHE[key] = ops
+    return ops
+
+
+def exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max: bool, noff,
+                                 eps, k: int = TOPK):
+    """`exact_topk_epilogue_rows` with the weight-dependent inputs as
+    VALUES (w32/diff32 per keyed_f32_totals_ops; eps the f32 near-tie band
+    half-width, a scalar operand) — the epilogue of the weights-generic
+    runners."""
+    from psa_tpu.ops.common import keyed_f32_totals_ops
+
+    keyed, _ = keyed_f32_totals_ops(stats5[..., :4, :], stats5[..., 4, :],
+                                    w32, diff32, is_max, noff,
+                                    counts_axis=-2)
+    best = jnp.max(keyed, axis=-1)
+    near = jnp.sum(keyed >= best[..., None] - eps, axis=-1)
+    _, topi = jax.lax.top_k(keyed, k)
+    stats_k = jnp.take_along_axis(stats5, topi[..., None, :], axis=-1)
+    return topi.astype(jnp.int32), stats_k, near, best
+
+
 def exact_topk_epilogue_rows(stats5, tables: ScoringTables, noff, l2p: int,
                              k: int = TOPK):
     """Rows-layout checkable-exact epilogue (jittable, natively batched).
@@ -449,16 +513,10 @@ def exact_topk_epilogue_rows(stats5, tables: ScoringTables, noff, l2p: int,
     the f32 ranking was insufficient, so no winner ever depends on f32
     rounding.  Returns (topi (..., k), stats_k (..., 5, k), near, best).
     """
-    from psa_tpu.ops.common import keyed_f32_totals
-
-    eps = np.float32(f32_band_epsilon(tables, l2p))
-    keyed, _ = keyed_f32_totals(stats5[..., :4, :], stats5[..., 4, :],
-                                tables, noff, counts_axis=-2)
-    best = jnp.max(keyed, axis=-1)
-    near = jnp.sum(keyed >= best[..., None] - eps, axis=-1)
-    _, topi = jax.lax.top_k(keyed, k)
-    stats_k = jnp.take_along_axis(stats5, topi[..., None, :], axis=-1)
-    return topi.astype(jnp.int32), stats_k, near, best
+    _, w32, diff32 = weights_operands(tables)
+    return exact_topk_epilogue_rows_ops(
+        stats5, w32, diff32, tables.is_max, noff,
+        np.float32(f32_band_epsilon(tables, l2p)), k)
 
 
 def exact_topk_epilogue(stats, tables: ScoringTables, noff, l2p: int,
@@ -653,25 +711,40 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
     Replaces the lax.scan-of-sweeps runner whose ~350us/query dispatch
     overhead dominated serving-sized workloads.
+
+    WEIGHTS-GENERIC: the compiled program is keyed on (mode, B, shapes)
+    only — the code table, signed weights, rank-diff table, and near-tie
+    epsilon are runtime operands (~5 KB per dispatch), so a query with
+    never-seen weights on a known shape bucket costs ZERO compiles.  The
+    Mosaic kernel never saw the weights anyway (it consumes precomputed pc
+    code columns built in XLA); this lifts the same property to the whole
+    XLA program.  Cold buckets (the serving-tail hazard, SERVE_r03 p99)
+    now arise only from new SHAPES.
     """
     key = _fused_runner_key(tables, b, l1k, l2p, interpret, k)
-    cached = _cache_get(_EXACT_RUNNERS, key)
-    if cached is not None:
-        return cached
+    run = _cache_get(_EXACT_RUNNERS, key)
+    if run is None:
+        import jax
 
-    import jax
+        assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
+        compact = epilogue_compact(l1k - l2p, l2p)
+        is_max = tables.is_max
 
-    assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
-    compact = epilogue_compact(l1k - l2p, l2p)
+        @jax.jit
+        def generic(inbuf, code_tab, w32, diff32, eps):
+            stats5, noffs = _fused_stats5(inbuf, code_tab, b, l1k, l2p,
+                                          interpret)
+            return pack_epilogue_outputs(
+                *exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max,
+                                              noffs, eps, k),
+                compact)
 
-    @jax.jit
-    def run(inbuf):
-        stats5, noffs = _fused_stats5(inbuf, tables, b, l1k, l2p, interpret)
-        return pack_epilogue_outputs(
-            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
-            compact)
+        run = _cache_put(_EXACT_RUNNERS, key,
+                         _mark_warm_after_first(generic, key))
 
-    return _cache_put(_EXACT_RUNNERS, key, _mark_warm_after_first(run, key))
+    code_tab, w32, diff32 = weights_operands(tables)
+    eps = np.float32(f32_band_epsilon(tables, l2p))
+    return lambda inbuf: run(inbuf, code_tab, w32, diff32, eps)
 
 
 def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
@@ -686,34 +759,45 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
     queries as the sharded axis.  Queries are independent, so there are NO
     collectives: the packed per-query outputs come back batch-sharded and
     the exact host selection is unchanged.
+
+    Weights-generic like `make_batched_fused_runner`: the weight tables are
+    replicated runtime operands, so the compiled shard_map program is keyed
+    on (mode, batch, shapes, mesh) only.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     key = _sharded_runner_key(tables, b, l1k, l2p, mesh, interpret, k)
-    cached = _cache_get(_EXACT_RUNNERS, key)
-    if cached is not None:
-        return cached
+    run = _cache_get(_EXACT_RUNNERS, key)
+    if run is None:
+        assert b % ndev == 0, (b, ndev)
+        bl = b // ndev
+        assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
+        compact = epilogue_compact(l1k - l2p, l2p)
+        is_max = tables.is_max
 
-    assert b % ndev == 0, (b, ndev)
-    bl = b // ndev
-    assert (l1k - l2p) % 512 == 0 and l2p % 128 == 0
-    compact = epilogue_compact(l1k - l2p, l2p)
+        def local(inbuf, code_tab, w32, diff32, eps):
+            # ONE packed upload (5-bit code words + noff,
+            # pack_query_inputs), sharded on the batch axis; unpacked
+            # in-graph per shard; weight operands replicated
+            c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+            stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, bl, l1k,
+                                              l2p, interpret)
+            return pack_epilogue_outputs(
+                *exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max,
+                                              noffs, eps, k),
+                compact)
 
-    def local(inbuf):
-        # ONE packed upload (5-bit code words + noff, pack_query_inputs),
-        # sharded on the batch axis; unpacked in-graph per shard
-        c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
-        stats5 = _fused_stats5_from_codes(c1b, c2b, tables, bl, l1k, l2p,
-                                          interpret)
-        return pack_epilogue_outputs(
-            *exact_topk_epilogue_rows(stats5, tables, noffs, l2p, k),
-            compact)
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(axis), P(), P(), P(), P()),
+                               out_specs=P(axis),
+                               check_vma=False))  # pallas_call: no vma
+        run = _cache_put(_EXACT_RUNNERS, key,
+                         _mark_warm_after_first(fn, key))
 
-    fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(P(axis),),
-                           out_specs=P(axis),
-                           check_vma=False))   # pallas_call can't carry vma
-    return _cache_put(_EXACT_RUNNERS, key, _mark_warm_after_first(fn, key))
+    code_tab, w32, diff32 = weights_operands(tables)
+    eps = np.float32(f32_band_epsilon(tables, l2p))
+    return lambda inbuf: run(inbuf, code_tab, w32, diff32,
+                             np.asarray(eps))
 
 
 def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
@@ -1189,7 +1273,8 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                 if not runner_is_warm(kk)]
             if missing:
                 for kk in missing:
-                    warm_bucket_async(tables_cr, kk[3], l1k, l2p, mesh=mesh)
+                    warm_bucket_async(tables_cr, runner_key_batch(kk), l1k,
+                                      l2p, mesh=mesh)
                 use_device = False
                 cold_routed = True
         if use_device:

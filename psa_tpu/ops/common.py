@@ -39,23 +39,40 @@ def keyed_f32_totals(counts, maxrank, tables, noff, counts_axis: int = -1):
     integer stats + host re-scoring (ops/select.py,
     models/batch.exact_topk_epilogue's near-tie band).
     """
+    w32 = tables.w_signed.astype(np.float32)
+    diff32 = np.concatenate([tables.diff_vals.astype(np.float32),
+                             [np.float32(0.0)]])
+    return keyed_f32_totals_ops(counts, maxrank, w32, diff32,
+                                tables.is_max, noff, counts_axis)
+
+
+def keyed_f32_totals_ops(counts, maxrank, w32, diff32, is_max: bool, noff,
+                         counts_axis: int = -1):
+    """`keyed_f32_totals` with the weight-dependent tables as VALUES
+    (traced operands or constants) instead of a ScoringTables: w32 (4,)
+    f32 signed class weights, diff32 (>= num_ranks + 1,) f32 rank->diff
+    (zero-padded tail; index num_ranks is read only when diff_vals is
+    empty, and padding past it is never read since maxrank < num_ranks).
+    Passing these as jit operands makes one compiled program serve ANY
+    weights for a shape (models/batch's weights-generic runners); passing
+    numpy gives the old constant-folding behavior.  Only `is_max` stays
+    trace-static (it flips the argmax direction)."""
     import jax.numpy as jnp
 
-    w32 = tables.w_signed.astype(np.float32)
-    diff32 = jnp.asarray(
-        np.concatenate([tables.diff_vals.astype(np.float32), [0.0]]))
+    diff32 = jnp.asarray(diff32)
     c = counts.astype(jnp.float32)
     if counts_axis == -1:
         total = c @ jnp.asarray(w32)
     else:
         assert counts_axis == -2
+        w32 = jnp.asarray(w32)
         total = (w32[0] * c[..., 0, :] + w32[1] * c[..., 1, :]
                  + w32[2] * c[..., 2, :] + w32[3] * c[..., 3, :])
     total = total + diff32[jnp.clip(maxrank, 0, None)]
     offs = jnp.arange(maxrank.shape[-1], dtype=jnp.int32)
     noff_arr = jnp.asarray(noff, dtype=jnp.int32)
     valid = (maxrank >= 0) & (offs < noff_arr[..., None])
-    sign = 1.0 if tables.is_max else -1.0
+    sign = 1.0 if is_max else -1.0
     keyed = jnp.where(valid, sign * total, -jnp.inf)
     return keyed, total
 

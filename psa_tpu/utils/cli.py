@@ -486,7 +486,8 @@ def _serve_warmup(args, mesh) -> int:
     a bad warmup file; individual compile failures only warn (the bucket
     then cold-routes to the host engine at serve time)."""
     from psa_tpu.core.tables import build_tables_cached
-    from psa_tpu.models.batch import planned_runner_keys, warm_fused_runner
+    from psa_tpu.models.batch import (planned_runner_keys, runner_key_batch,
+                                      warm_fused_runner)
     from psa_tpu.ops.pallas_sweep import plan_shapes
     from psa_tpu.utils.io import parse_query_lines
 
@@ -514,17 +515,18 @@ def _serve_warmup(args, mesh) -> int:
         tables = build_tables_cached(np.asarray(w), is_max)
         for key in sorted(planned_runner_keys(tables, chunk, l1k, l2p,
                                               mesh=mesh),
-                          key=lambda kk: kk[3]):
+                          key=runner_key_batch):
+            bsz = runner_key_batch(key)
             t0 = time.perf_counter()
             try:
-                warm_fused_runner(tables, key[3], l1k, l2p, mesh=mesh)
+                warm_fused_runner(tables, bsz, l1k, l2p, mesh=mesh)
             except Exception as e:  # noqa: BLE001 - warmup is best-effort
                 print(f"warning: warmup failed for bucket "
-                      f"(B={key[3]}, l1k={l1k}, l2p={l2p}): "
+                      f"(B={bsz}, l1k={l1k}, l2p={l2p}): "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
                 continue
             if not args.quiet:
-                print(f"[warmup] bucket B={key[3]} l1k={l1k} l2p={l2p} "
+                print(f"[warmup] bucket B={bsz} l1k={l1k} l2p={l2p} "
                       f"{'max' if is_max else 'min'} compiled in "
                       f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     return 0

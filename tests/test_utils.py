@@ -116,6 +116,13 @@ def test_health_probe_short_circuits_on_cpu_pin():
     """With the process pinned to CPU (conftest), effective_platform must
     answer without spawning a probe subprocess."""
     import importlib
+    import os
+
+    import pytest
+
+    if os.environ.get("PSA_TEST_PLATFORM", "cpu") != "cpu":
+        pytest.skip("requires the forced-CPU pin (real-hardware suite runs "
+                    "without it, so the probe legitimately runs)")
 
     from psa_tpu.utils import health
 

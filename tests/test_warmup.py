@@ -36,16 +36,26 @@ def _bucket_shapes(n1=600, n2=100):
     return l1k, l2p
 
 
+def _forget(keys):
+    """Force the cold state for a set of runner keys (warm state is
+    process-global, and keys are weights-generic, so earlier tests on the
+    same shape bucket may have warmed them)."""
+    with bm._CACHE_LOCK:
+        for kk in keys:
+            bm._WARM_KEYS.discard(kk)
+            bm._EXACT_RUNNERS.pop(kk, None)
+
+
 def test_warm_fused_runner_marks_planned_keys_warm():
-    # weights unique to this test: warm state is process-global
     w = np.array([1.125, 3.375, 4.625, 2.875])
     t = build_tables(w, False)
     l1k, l2p = _bucket_shapes()
     keys = bm.planned_runner_keys(t, 3, l1k, l2p)
     assert len(keys) == 1
     (key,) = keys
+    _forget(keys)
     assert not bm.runner_is_warm(key)
-    bm.warm_fused_runner(t, key[3], l1k, l2p)
+    bm.warm_fused_runner(t, bm.runner_key_batch(key), l1k, l2p)
     assert bm.runner_is_warm(key)
     # and the planned keys mirror the dispatch plan exactly: a dispatch for
     # the same bucket now hits the (warm) cached runner
@@ -59,18 +69,22 @@ def test_planned_keys_cover_multi_microbatch_and_sharded_plans():
     t = build_tables(w, False)
     l1k, l2p = _bucket_shapes()
     ks = bm.planned_runner_keys(t, 2500, l1k, l2p, micro_b=1024)
-    assert sorted(k[3] for k in ks) == [512, 1024]   # 1024+1024+452->512
+    assert sorted(bm.runner_key_batch(k) for k in ks) == [512, 1024]
     from psa_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(jax.devices()[:4], axis="dp")
     ks = bm.planned_runner_keys(t, 6, l1k, l2p, mesh=mesh, micro_b=1024)
-    assert [k[0] for k in ks] == ["fused-sharded"]
-    assert sorted(k[3] for k in ks) == [8]          # ceil(6/4)->2 pow2, *4
+    assert [k[0] for k in ks] == ["fused-shardedW"]
+    assert sorted(bm.runner_key_batch(k) for k in ks) == [8]  # ceil(6/4)->2
+    #                                                     pow2, *4 devices
 
 
 def test_cold_bucket_routes_to_host_then_warms(monkeypatch):
-    w = (1.0, 2.75, 4.5, 2.0)          # unique bucket for this test
+    w = (1.0, 2.75, 4.5, 2.0)
     qs = _queries(w=w)
+    t = build_tables(np.asarray(w), False)
+    l1k, l2p = _bucket_shapes()
+    _forget(bm.planned_runner_keys(t, len(qs), l1k, l2p))
     calls = []
     real = bm.batched_search_exact_async
 
@@ -115,11 +129,14 @@ def test_cli_serve_warmup_precompiles(monkeypatch, capsys, tmp_path):
     from psa_tpu.core.tables import build_tables_cached
     from psa_tpu.utils.cli import main
 
-    w = (1.5, 3.25, 4.0, 2.0)          # unique bucket for this test
+    w = (1.5, 3.25, 4.0, 2.0)
     s1, s2 = random_sequences(600, 100, seed=42)
     line = " ".join("%g" % x for x in w) + f" {s1} {s2} minimum"
     wf = tmp_path / "warm.txt"
     wf.write_text(line + "\n")
+    t0 = build_tables_cached(np.asarray(w), False)
+    l1k, l2p = _bucket_shapes()
+    _forget(bm.planned_runner_keys(t0, 4, l1k, l2p))
 
     monkeypatch.setattr(sys, "stdin", io.StringIO(line + "\n"))
     assert main(["--serve", "--quiet", "--backend", "pallas",
