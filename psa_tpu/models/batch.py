@@ -360,6 +360,7 @@ class _Warmer:
 
         self._q: "queue.Queue" = queue.Queue()
         self._pending: set = set()      # guarded by _CACHE_LOCK
+        self._active = None             # key mid-compile (guarded too)
         self._t = None
 
     def submit(self, key, fn) -> bool:
@@ -368,9 +369,12 @@ class _Warmer:
                 return False
             self._pending.add(key)
             if self._t is None:
+                import atexit
+
                 self._t = threading.Thread(target=self._run, daemon=True,
                                            name="psa-warmer")
                 self._t.start()
+                atexit.register(self._drain_at_exit)
         self._q.put((key, fn))
         return True
 
@@ -379,6 +383,8 @@ class _Warmer:
 
         while True:
             key, fn = self._q.get()
+            with _CACHE_LOCK:
+                self._active = key
             try:
                 fn()
             except Exception as e:  # noqa: BLE001 - warmup is best-effort
@@ -387,7 +393,39 @@ class _Warmer:
                       f"host engine", file=sys.stderr)
             finally:
                 with _CACHE_LOCK:
+                    self._active = None
                     self._pending.discard(key)
+
+    def _drain_at_exit(self):
+        """Interpreter-shutdown guard: tearing down the process while a
+        compile RPC is mid-flight on the daemon thread can SIGABRT inside
+        the PJRT client ('FATAL: exception not rethrown').  Drop queued
+        warms and wait (bounded) for the active one to finish; a no-op in
+        the common case of an idle warmer."""
+        import os
+        import queue
+        import sys
+        import time
+
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        with _CACHE_LOCK:
+            active = self._active
+        if active is None:
+            return
+        timeout = float(os.environ.get("PSA_WARMER_EXIT_TIMEOUT", "1800"))
+        print("[psa] waiting for the in-flight background bucket compile "
+              "before exit (bound: PSA_WARMER_EXIT_TIMEOUT="
+              f"{timeout:.0f}s)", file=sys.stderr)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with _CACHE_LOCK:
+                if self._active is None:
+                    return
+            time.sleep(0.1)
 
     def join(self, timeout: float = 600.0) -> bool:
         """Wait until every queued warmup completed (tests/shutdown);

@@ -163,6 +163,10 @@ def test_serve_line_reader_coalesces_available_lines():
 def test_serve_sharded_device_path(monkeypatch, capsys):
     """--serve --sharded routes device buckets through the mesh-sharded
     exact batch path (interpret on the 8-device CPU mesh)."""
+    # this test is about the sharded DEVICE path: disable cold-bucket host
+    # routing (on real hardware it would host-route the first chunk and
+    # leave a background compile in flight at process exit)
+    monkeypatch.setenv("PSA_COLD_ROUTE", "0")
     lines = [_query_line(seed, n1=700, n2=120) for seed in range(3)]
     monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
     assert main(["--serve", "--quiet", "--sharded",

@@ -137,6 +137,10 @@ def test_cli_serve_warmup_precompiles(monkeypatch, capsys, tmp_path):
     t0 = build_tables_cached(np.asarray(w), False)
     l1k, l2p = _bucket_shapes()
     _forget(bm.planned_runner_keys(t0, 4, l1k, l2p))
+    # the test is about --warmup itself; without this, on real hardware
+    # the B=1 serve chunk would cold-route and queue a background compile
+    # that outlives the test
+    monkeypatch.setenv("PSA_COLD_ROUTE", "0")
 
     monkeypatch.setattr(sys, "stdin", io.StringIO(line + "\n"))
     assert main(["--serve", "--quiet", "--backend", "pallas",
