@@ -78,8 +78,9 @@ def main() -> int:
         print(f"[tpu_suite] phase {name}: {len(files)} files ...",
               file=sys.stderr, flush=True)
         proc = _run_with_timeout(
-            [sys.executable, "-m", "pytest", *files, "-q", "--tb=line",
-             "-p", "no:cacheprovider"], env, args.phase_timeout)
+            [sys.executable, "-m", "pytest", *files, "-q", "-v",
+             "--tb=line", "-p", "no:cacheprovider"], env,
+            args.phase_timeout, name)
         dt = time.perf_counter() - t0
         tail = (proc["stdout"].strip().splitlines() or [""])[-1]
         counts = _parse_counts(tail)
@@ -118,16 +119,23 @@ def main() -> int:
     return 0 if all_green else 1
 
 
-def _run_with_timeout(cmd, env, timeout_s: int) -> dict:
-    try:
-        p = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                           timeout=timeout_s or None)
-        return {"rc": p.returncode, "stdout": p.stdout + p.stderr}
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"")
-        if isinstance(out, bytes):
-            out = out.decode("utf-8", "replace")
-        return {"rc": 124, "stdout": out + "\n[tpu_suite] TIMEOUT"}
+def _run_with_timeout(cmd, env, timeout_s: int, name: str = "phase") -> dict:
+    # stream output to a per-phase file so a hang is attributable to a
+    # specific test while it happens (capture_output hides it until exit)
+    path = f"/tmp/tpu_suite_phase_{name}.log"
+    with open(path, "w") as logf:
+        try:
+            p = subprocess.run(cmd, env=env, stdout=logf,
+                               stderr=subprocess.STDOUT,
+                               timeout=timeout_s or None)
+            rc = p.returncode
+        except subprocess.TimeoutExpired:
+            rc = 124
+    with open(path) as f:
+        out = f.read()
+    if rc == 124:
+        out += "\n[tpu_suite] TIMEOUT"
+    return {"rc": rc, "stdout": out}
 
 
 def _parse_counts(tail: str) -> dict:
