@@ -70,7 +70,13 @@ def main() -> int:
     only = set(args.phases.split(",")) if args.phases else None
     env = dict(os.environ, PSA_TEST_PLATFORM="tpu")
     results = {}
-    all_green = True
+    if only and os.path.exists(args.out):
+        # partial rerun: keep the other phases' recorded results
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("phases", {})
+        except (OSError, ValueError):
+            results = {}
     for name, files in PHASES:
         if only and name not in only:
             continue
@@ -85,7 +91,6 @@ def main() -> int:
         tail = (proc["stdout"].strip().splitlines() or [""])[-1]
         counts = _parse_counts(tail)
         ok = proc["rc"] == 0
-        all_green &= ok
         results[name] = {
             "ok": ok,
             "rc": proc["rc"],
@@ -100,6 +105,7 @@ def main() -> int:
             # keep going: later phases may still pass and the artifact
             # should show exactly where the budget went
 
+    all_green = all(v.get("ok") for v in results.values())
     artifact = {
         "metric": "real_tpu_suite",
         "platform": "tpu",
