@@ -121,8 +121,12 @@ def test_cold_route_policy_env_override(monkeypatch):
     assert cold_route_default("pallas") is False
     monkeypatch.delenv("PSA_COLD_ROUTE")
     assert cold_route_default("native") is False   # host backend: never
-    # forced-CPU test platform: compiles are cheap, no cold routing
-    assert cold_route_default("pallas") is False
+    # platform default: ON for a real TPU (compiles cost minutes through
+    # a tunnel), OFF on the forced-CPU test platform (compiles are cheap,
+    # the device path should be exercised directly)
+    from psa_tpu.utils.health import effective_platform
+
+    assert cold_route_default("pallas") is (effective_platform() == "tpu")
 
 
 def test_cli_serve_warmup_precompiles(monkeypatch, capsys, tmp_path):
