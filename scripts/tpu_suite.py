@@ -68,7 +68,9 @@ def main() -> int:
     args = ap.parse_args()
 
     only = set(args.phases.split(",")) if args.phases else None
-    env = dict(os.environ, PSA_TEST_PLATFORM="tpu")
+    # PYTHONUNBUFFERED: the per-phase log files are the live hang
+    # attribution; block-buffered pytest output defeats them
+    env = dict(os.environ, PSA_TEST_PLATFORM="tpu", PYTHONUNBUFFERED="1")
     results = {}
     if only and os.path.exists(args.out):
         # partial rerun: keep the other phases' recorded results
