@@ -90,14 +90,15 @@ def main():
     ndev = jax.device_count()
     sizes = ([int(x) for x in args.devices.split(",")] if args.devices
              else [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev])
+    if args.mode == "ladder":
+        # single-chip proxy: shard sizes are workload divisions, not meshes
+        return shard_ladder(args, sizes)
     for d in sizes:
         if d > ndev:
             log(f"[scaling] error: mesh size {d} > available devices {ndev}")
             return 2
     if args.mode == "serve":
         return serve_ladder(args, sizes)
-    if args.mode == "ladder":
-        return shard_ladder(args, sizes)
 
     n1, n2 = args.n1, args.n2
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
@@ -233,17 +234,19 @@ def shard_ladder(args, sizes) -> int:
 
     rng = np.random.default_rng(0)
     merge_ms = {}
+    reps = 20
     for d in sizes:
-        cand = np.sort(rng.choice(n1 - n2 + 1, size=d * TOPK, replace=False))
-        pick_from_candidates(c1, c2, tables, cand)      # warm (builds lib)
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            pick_from_candidates(c1, c2, tables, np.sort(
-                rng.choice(n1 - n2 + 1, size=d * TOPK, replace=False)))
-        merge_ms[d] = (time.perf_counter() - t0) / reps * 1e3
+        cands = [np.sort(rng.choice(n1 - n2 + 1, size=d * TOPK,
+                                    replace=False)) for _ in range(reps)]
+        pick_from_candidates(c1, c2, tables, cands[0])  # warm (builds lib)
+        best = float("inf")
+        for cand in cands:
+            t0 = time.perf_counter()
+            pick_from_candidates(c1, c2, tables, cand)
+            best = min(best, time.perf_counter() - t0)
+        merge_ms[d] = best * 1e3
         log(f"[scaling] N={d}: host merge of {d}x{TOPK} candidates "
-            f"{merge_ms[d]:.2f} ms")
+            f"{merge_ms[d]:.3f} ms")
 
     # --- predicted scaling --------------------------------------------------
     results = []
