@@ -112,6 +112,49 @@ def test_cold_bucket_routes_to_host_then_warms(monkeypatch):
             (b.offset, b.char_offset, b.sub_code, b.score)
 
 
+def test_weights_generic_runner_shared_across_weights():
+    """Two different weight vectors on the same (mode, B, shapes) bucket
+    must hit ONE cached runner program (the weights enter as operands) —
+    the property that makes new-weights traffic compile-free — and both
+    must stay bit-exact vs the oracle."""
+    from psa_tpu.core.alphabet import pad_codes
+    from psa_tpu.models.search import AlignmentSearchEngine
+    from psa_tpu.ops.pallas_sweep import plan_shapes
+
+    rng = np.random.default_rng(77)
+    n1, n2 = 700, 120
+    _, _, l2p, l1k = plan_shapes(n1, n2)
+    c1 = rng.integers(0, 26, n1, dtype=np.int32)
+    c2 = rng.integers(0, 26, n2, dtype=np.int32)
+    c1b = pad_codes(c1, l1k)[None]
+    c2b = pad_codes(c2, l2p)[None]
+    noffs = np.array([n1 - n2 + 1], np.int32)
+    n2s = np.array([n2], np.int32)
+
+    w_a = np.array([1.0, 3.0, 4.0, 2.0])
+    w_b = np.array([0.7, 2.9, 5.3, 1.1]) * np.pi / 3   # irrational
+    t_a = build_tables(w_a, False)
+    t_b = build_tables(w_b, False)
+    key_a = bm.planned_runner_keys(t_a, 1, l1k, l2p)
+    key_b = bm.planned_runner_keys(t_b, 1, l1k, l2p)
+    assert key_a == key_b                    # weights-free keys
+
+    n_runners_before = len(bm._EXACT_RUNNERS)
+    rs_a = bm.batched_search_exact(c1b, c2b, noffs, n2s, t_a,
+                                   interpret=True)
+    rs_b = bm.batched_search_exact(c1b, c2b, noffs, n2s, t_b,
+                                   interpret=True)
+    # at most one NEW runner was created for both weight vectors
+    assert len(bm._EXACT_RUNNERS) <= n_runners_before + 1
+
+    for w, rs in ((w_a, rs_a), (w_b, rs_b)):
+        ref = AlignmentSearchEngine(w, False,
+                                    backend="numpy").search_codes(c1, c2)
+        got = rs[0]
+        assert (got.offset, got.char_offset, got.sub_code, got.score) == (
+            ref.offset, ref.char_offset, ref.sub_code, ref.score), w
+
+
 def test_cold_route_policy_env_override(monkeypatch):
     from psa_tpu.utils.server import cold_route_default
 
