@@ -53,6 +53,12 @@ class EngineConfig:
     # of batch i+1).
     micro_batch: int = _env_int("PSA_MICRO_BATCH", 1024)
 
+    # serve-loop pipeline depth: dispatched-but-uncollected batches.  2
+    # overlaps the fetch RPC with device compute + host work and measured
+    # equivalent to deeper on a healthy tunnel (r3); under degraded RPC
+    # latency (fetches of 300-500 ms) deeper keeps the device fed.
+    serve_inflight: int = _env_int("PSA_SERVE_INFLIGHT", 2)
+
     # accelerator health probe deadline (seconds) for the `auto` backend
     # and bench.py — device init through a dead remote tunnel otherwise
     # retries forever (utils/health.py)

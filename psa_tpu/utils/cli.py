@@ -542,9 +542,11 @@ def _serve_loop(args, reader, mesh) -> int:
     (batches finish FIFO).  Partial batches dispatch only once the device
     pipeline is empty — while the device is busy, a trickle accumulates
     into a fuller batch (the quiescence rule's pipelined analog)."""
+    from psa_tpu.config import CONFIG
     from psa_tpu.utils.server import Finisher, dispatch_query_lines
 
     max_b = max(1, args.serve_batch)
+    depth = max(1, CONFIG.serve_inflight)
     served = 0
     queued: list = []
     eof = False
@@ -585,7 +587,7 @@ def _serve_loop(args, reader, mesh) -> int:
         while True:
             # dispatch: a full batch whenever pipeline space exists; a
             # partial one only once the device pipeline is empty
-            while (fin.inflight < 2
+            while (fin.inflight < depth
                    and (len(queued) >= max_b
                         or (queued and not fin.inflight))):
                 take = queued[:max_b]
@@ -602,7 +604,8 @@ def _serve_loop(args, reader, mesh) -> int:
             # print whatever the finisher thread completed; block outright
             # only when nothing else can progress (pipeline full, or EOF
             # endgame with no full batch left to form)
-            block = (fin.inflight >= 2 or (eof and len(queued) < max_b))
+            block = (fin.inflight >= depth
+                     or (eof and len(queued) < max_b))
             got = fin.collect(timeout=None if block else 0)
             if got is not None:
                 rc = flush(got[1])

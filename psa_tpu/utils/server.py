@@ -270,8 +270,14 @@ class TCPQueryServer:
     # dispatched-but-uncollected batches (device pipeline depth at the
     # server level): the finisher thread blocks on the oldest fetch while
     # this loop drains/parses/dispatches the next, so 2 overlaps the
-    # RPC-expensive fetch with both device compute AND host serve work
-    _MAX_INFLIGHT = 2
+    # RPC-expensive fetch with both device compute AND host serve work;
+    # PSA_SERVE_INFLIGHT raises it for deployments whose per-fetch
+    # latency dominates (degraded tunnel sessions measured 300-500 ms)
+    @property
+    def _MAX_INFLIGHT(self):
+        from psa_tpu.config import CONFIG
+
+        return max(1, CONFIG.serve_inflight)
 
     def __init__(self, host: str, port: int, *, backend: str, lenient: bool,
                  json_out: bool, mesh, max_batch: int, quiet: bool):
