@@ -249,16 +249,22 @@ def shard_ladder(args, sizes) -> int:
             f"{merge_ms[d]:.3f} ms")
 
     # --- predicted scaling --------------------------------------------------
+    # efficiency is relative to the FIRST measured ladder rung (devices d0,
+    # normally 1); with --devices excluding 1 the field name and baseline
+    # record say so instead of silently mislabeling
     results = []
+    d0 = shard_rows[0]["devices"] if shard_rows else 1
+    eff_field = ("predicted_efficiency_vs_1chip" if d0 == 1
+                 else f"predicted_efficiency_vs_{d0}chip_baseline")
     for row in shard_rows:
         d = row["devices"]
         pred_ms = row["t_shard_ms"] + merge_ms[d]
         rate = pair_evals / (pred_ms * 1e-3)
-        eff = (t1 * 1e3) / (d * pred_ms)
+        eff = (t1 * 1e3) * d0 / (d * pred_ms)
         results.append({**row, "t_merge_ms": round(merge_ms[d], 3),
                         "predicted_total_ms": round(pred_ms, 3),
                         "predicted_pair_evals_per_sec": rate,
-                        "predicted_efficiency_vs_1chip": round(eff, 4)})
+                        eff_field: round(eff, 4)})
         log(f"[scaling] N={d}: predicted total {pred_ms:.2f} ms  "
             f"({rate:.3g} evals/s aggregate, eff={eff:.3f})")
 

@@ -57,6 +57,11 @@ def main():
                          "waiting out a Mosaic compile)")
     args = ap.parse_args()
 
+    if args.cold_inject and not (args.tcp and args.closed_loop):
+        ap.error("--cold-inject requires --tcp N --closed-loop (throughput "
+                 "modes would silently mix host-routed cold replies into "
+                 "the q/s number with no breakdown)")
+
     from psa_tpu.utils.generator import random_sequences
 
     B, n1, n2 = args.batch, args.n1, args.n2

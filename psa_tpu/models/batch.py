@@ -238,8 +238,13 @@ def runner_is_warm(key) -> bool:
 
 
 def _mark_warm(key) -> None:
+    # only while the runner is still cached: a concurrent LRU eviction
+    # (_cache_put) may have dropped this key mid-call, and a warm flag
+    # without a cached runner would make cold_route dispatch a reply
+    # straight into a synchronous recompile
     with _CACHE_LOCK:
-        _WARM_KEYS.add(key)
+        if key in _EXACT_RUNNERS:
+            _WARM_KEYS.add(key)
 
 
 def _mark_warm_after_first(run, key):
@@ -355,17 +360,26 @@ class _Warmer:
     anyway), and the serve loop must stay responsive while warms proceed.
     Deduplicates by runner key, skipping keys already warm or queued."""
 
+    # a deterministically-failing compile must not monopolize the single
+    # warmer forever (every cold chunk would re-queue it); after this many
+    # failures the key is dropped and its bucket stays host-routed
+    _MAX_FAILURES = 3
+
     def __init__(self):
         import queue
 
         self._q: "queue.Queue" = queue.Queue()
         self._pending: set = set()      # guarded by _CACHE_LOCK
+        self._failures: dict = {}       # key -> failed attempt count
         self._active = None             # key mid-compile (guarded too)
+        self._closing = False           # exit drain in progress
         self._t = None
 
     def submit(self, key, fn) -> bool:
         with _CACHE_LOCK:
-            if key in _WARM_KEYS or key in self._pending:
+            if (key in _WARM_KEYS or key in self._pending
+                    or self._failures.get(key, 0) >= self._MAX_FAILURES
+                    or self._closing):
                 return False
             self._pending.add(key)
             if self._t is None:
@@ -384,13 +398,23 @@ class _Warmer:
         while True:
             key, fn = self._q.get()
             with _CACHE_LOCK:
+                if self._closing:       # exit drain won the race: don't
+                    self._pending.discard(key)   # start a new compile
+                    continue
                 self._active = key
             try:
                 fn()
+                with _CACHE_LOCK:
+                    self._failures.pop(key, None)
             except Exception as e:  # noqa: BLE001 - warmup is best-effort
+                with _CACHE_LOCK:
+                    self._failures[key] = self._failures.get(key, 0) + 1
+                    nfail = self._failures[key]
+                tail = (" (giving up; the bucket stays on the host engine)"
+                        if nfail >= self._MAX_FAILURES else "")
                 print(f"warning: background bucket warmup failed "
-                      f"({type(e).__name__}: {e}); the bucket stays on the "
-                      f"host engine", file=sys.stderr)
+                      f"(attempt {nfail}, {type(e).__name__}: {e}){tail}",
+                      file=sys.stderr)
             finally:
                 with _CACHE_LOCK:
                     self._active = None
@@ -407,13 +431,20 @@ class _Warmer:
         import sys
         import time
 
+        with _CACHE_LOCK:
+            # set under the same lock the worker uses before starting a
+            # compile: any worker past its _closing check has _active set,
+            # so the wait below cannot miss a just-starting compile
+            self._closing = True
+            active = self._active
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        with _CACHE_LOCK:
-            active = self._active
+        if active is None:
+            with _CACHE_LOCK:
+                active = self._active
         if active is None:
             return
         timeout = float(os.environ.get("PSA_WARMER_EXIT_TIMEOUT", "1800"))

@@ -511,11 +511,19 @@ def _serve_warmup(args, mesh) -> int:
         buckets[(tuple(float(x) for x in ent.weights), ent.is_max, l1k,
                  l2p)] = None
     chunk = max(1, args.serve_batch)
+    done: set = set()
     for w, is_max, l1k, l2p in buckets:
         tables = build_tables_cached(np.asarray(w), is_max)
         for key in sorted(planned_runner_keys(tables, chunk, l1k, l2p,
                                               mesh=mesh),
                           key=runner_key_batch):
+            if key in done:
+                # runners are weights-generic: a second weight vector on
+                # the same (mode, shape) bucket shares the compiled
+                # program — re-warming would only burn a dummy device
+                # batch per extra weights for zero benefit
+                continue
+            done.add(key)
             bsz = runner_key_batch(key)
             t0 = time.perf_counter()
             try:

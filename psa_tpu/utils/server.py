@@ -84,7 +84,7 @@ def cold_route_default(backend: str) -> bool:
 
     env = os.environ.get("PSA_COLD_ROUTE")
     if env is not None:
-        return env not in ("0", "", "false", "no")
+        return env.strip().lower() not in ("0", "", "false", "no", "off")
     if backend not in ("auto", "pallas"):
         return False
     from psa_tpu.utils.health import effective_platform

@@ -104,8 +104,13 @@ def main() -> int:
               f"{tail[:120]}", file=sys.stderr, flush=True)
         if proc["rc"] == 124:
             results[name]["timeout"] = True
-            # keep going: later phases may still pass and the artifact
-            # should show exactly where the budget went
+            # keep going — but the timeout SIGKILLed pytest mid-TPU-work,
+            # which can wedge the chip for minutes (CLAUDE.md); cool down
+            # so the next phase's results aren't poisoned by the wedge
+            print("[tpu_suite] cooling down 120s after the timeout kill "
+                  "(mid-execution kills can wedge the chip)",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
 
     all_green = all(v.get("ok") for v in results.values())
     artifact = {
