@@ -155,6 +155,33 @@ def test_weights_generic_runner_shared_across_weights():
             ref.offset, ref.char_offset, ref.sub_code, ref.score), w
 
 
+def test_warmer_gives_up_after_repeated_failures():
+    """A deterministically-failing bucket compile must not monopolize the
+    single background warmer: after _MAX_FAILURES attempts the key is
+    dropped and further submits are refused (the bucket stays
+    host-routed)."""
+    key = ("fusedW", False, 999991, 640, 128, True, 32)   # synthetic
+    _forget([key])
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("synthetic compile failure")
+
+    import time
+
+    for i in range(bm._WARMER._MAX_FAILURES):
+        assert bm._WARMER.submit(key, boom) is True, i
+        assert bm.warmup_join(timeout=30)
+    assert len(calls) == bm._WARMER._MAX_FAILURES
+    # memoized failure: no further attempts are queued
+    assert bm._WARMER.submit(key, boom) is False
+    time.sleep(0.05)
+    assert len(calls) == bm._WARMER._MAX_FAILURES
+    with bm._CACHE_LOCK:                      # cleanup for other tests
+        bm._WARMER._failures.pop(key, None)
+
+
 def test_cold_route_policy_env_override(monkeypatch):
     from psa_tpu.utils.server import cold_route_default
 
