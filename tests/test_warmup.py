@@ -155,6 +155,31 @@ def test_weights_generic_runner_shared_across_weights():
             ref.offset, ref.char_offset, ref.sub_code, ref.score), w
 
 
+def test_warm_sharded_runner_and_cold_route_with_mesh():
+    """warm_fused_runner(mesh=...) pre-compiles the mesh-sharded runner,
+    and a sharded dispatch then hits the warm cache."""
+    import jax
+
+    from psa_tpu.parallel.mesh import make_mesh
+
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    t = build_tables(w, False)
+    l1k, l2p = _bucket_shapes()
+    mesh = make_mesh(jax.devices()[:2], axis="dp")
+    keys = bm.planned_runner_keys(t, 3, l1k, l2p, mesh=mesh)
+    assert len(keys) == 1
+    (key,) = keys
+    _forget(keys)
+    assert not bm.runner_is_warm(key)
+    bm.warm_fused_runner(t, bm.runner_key_batch(key), l1k, l2p, mesh=mesh)
+    assert bm.runner_is_warm(key)
+    qs = _queries(3)
+    _, finish = bm.search_batch_async(qs, backend="pallas", mesh=mesh,
+                                      cold_route=True)
+    rs = finish()
+    assert all(r is not None for r in rs)
+
+
 def test_warmer_gives_up_after_repeated_failures():
     """A deterministically-failing bucket compile must not monopolize the
     single background warmer: after _MAX_FAILURES attempts the key is
