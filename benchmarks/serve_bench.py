@@ -55,6 +55,11 @@ def main():
                          "latency under the warmup + host-routing machinery "
                          "(replies must come from the host engine instead of "
                          "waiting out a Mosaic compile)")
+    ap.add_argument("--shared-s1", action="store_true",
+                    help="every query uses ONE shared Seq1 (the many-reads-"
+                         "vs-one-reference pattern): the serve path then "
+                         "ships Seq1 once per microbatch instead of per "
+                         "query (models/batch.pack_query_inputs_shared)")
     args = ap.parse_args()
 
     if args.cold_inject and not (args.tcp and args.closed_loop):
@@ -67,8 +72,12 @@ def main():
     B, n1, n2 = args.batch, args.n1, args.n2
     log(f"[serve_bench] generating {B} query lines ({n1}x{n2})")
     lines = []
+    s1_fixed = (random_sequences(n1, n2, seed=999_999)[0]
+                if args.shared_s1 else None)
     for s in range(B):
         s1, s2 = random_sequences(n1, n2, seed=s)
+        if s1_fixed is not None:
+            s1 = s1_fixed
         lines.append(f"1 3 4 2 {s1} {s2} minimum")
     payload = "\n".join(lines) + "\n"
 

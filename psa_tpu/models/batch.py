@@ -269,17 +269,19 @@ def _default_interpret() -> bool:
 
 
 def _fused_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
-                      interpret: bool, k: int):
+                      interpret: bool, k: int, shared_s1: bool = False):
     # NO weights in the key: the fused runners are weights-generic (the
     # code/w/diff/eps tables enter as runtime operands), so one compiled
     # program per (mode, batch, shapes) serves any weights — a new weights
-    # vector on a known bucket costs zero compiles.
-    return ("fusedW", tables.is_max, b, l1k, l2p, interpret, k)
+    # vector on a known bucket costs zero compiles.  shared_s1 selects the
+    # dedup-Seq1 wire variant (one uploaded Seq1 row, device broadcast).
+    return ("fusedW" + ("s1" if shared_s1 else ""), tables.is_max, b, l1k,
+            l2p, interpret, k)
 
 
 def runner_key_batch(key) -> int:
     """The padded batch size a fused/sharded runner key was built for."""
-    assert key[0] in ("fusedW", "fused-shardedW"), key
+    assert key[0] in ("fusedW", "fusedWs1", "fused-shardedW"), key
     return key[2]
 
 
@@ -296,7 +298,8 @@ def _sharded_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
 def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
                         interpret: bool | None = None, k: int | None = None,
                         mesh: Mesh | None = None,
-                        micro_b: int | None = None) -> set:
+                        micro_b: int | None = None,
+                        shared_s1: bool = False) -> set:
     """The exact runner-cache keys a `batched_search_exact[_sharded]_async`
     call for a b_n-query bucket would dispatch through — the cold-bucket
     check and the warmup path both derive their work from this, so they can
@@ -312,7 +315,8 @@ def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
     if mesh is None:
         for s, e in microbatch_spans(b_n, mb):
             keys.add(_fused_runner_key(tables, _round_batch(e - s, mb), l1k,
-                                       l2p, bool(interpret), k))
+                                       l2p, bool(interpret), k,
+                                       shared_s1 and b_n > 1))
     else:
         ndev = mesh.devices.size
         for s, e in microbatch_spans(b_n, mb * ndev):
@@ -324,7 +328,8 @@ def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
 
 def warm_fused_runner(tables: ScoringTables, b: int, l1k: int, l2p: int,
                       interpret: bool | None = None, k: int | None = None,
-                      mesh: Mesh | None = None) -> None:
+                      mesh: Mesh | None = None,
+                      shared_s1: bool = False) -> None:
     """Pre-compile one bucket runner: build it, execute one all-PAD dummy
     microbatch, and block until the result is ready.  After this returns,
     a serve chunk hitting the same (mode, b, l1k, l2p) bucket pays zero
@@ -339,16 +344,22 @@ def warm_fused_runner(tables: ScoringTables, b: int, l1k: int, l2p: int,
         interpret = _default_interpret()
     if k is None:
         k = TOPK
+    c1 = np.full((b, l1k), PAD_CODE, np.int8)
+    c2 = np.full((b, l2p), PAD_CODE, np.int8)
+    noffs = np.ones(b, np.int32)
+    # the runner wrapper marks the key warm when this call completes
+    if mesh is None and shared_s1:
+        run = make_batched_fused_runner(tables, b, l1k, l2p, bool(interpret),
+                                        k, shared_s1=True)
+        inbuf, c1w = pack_query_inputs_shared(c1[0], c2, noffs)
+        jax.block_until_ready(run(jnp.asarray(inbuf), jnp.asarray(c1w)))
+        return
     if mesh is None:
         run = make_batched_fused_runner(tables, b, l1k, l2p, bool(interpret),
                                         k)
     else:
         run = make_batched_fused_sharded_runner(tables, b, l1k, l2p, mesh,
                                                 bool(interpret), k)
-    c1 = np.full((b, l1k), PAD_CODE, np.int8)
-    c2 = np.full((b, l2p), PAD_CODE, np.int8)
-    noffs = np.ones(b, np.int32)
-    # the runner wrapper marks the key warm when this call completes
     jax.block_until_ready(run(jnp.asarray(pack_query_inputs(c1, c2, noffs))))
 
 
@@ -478,7 +489,8 @@ _WARMER = _Warmer()
 
 def warm_bucket_async(tables: ScoringTables, b: int, l1k: int, l2p: int,
                       interpret: bool | None = None, k: int | None = None,
-                      mesh: Mesh | None = None) -> bool:
+                      mesh: Mesh | None = None,
+                      shared_s1: bool = False) -> bool:
     """Queue a background compile of one bucket runner (dedup by key);
     True if newly queued."""
     if interpret is None:
@@ -486,13 +498,14 @@ def warm_bucket_async(tables: ScoringTables, b: int, l1k: int, l2p: int,
     if k is None:
         k = TOPK
     if mesh is None:
-        key = _fused_runner_key(tables, b, l1k, l2p, bool(interpret), k)
+        key = _fused_runner_key(tables, b, l1k, l2p, bool(interpret), k,
+                                shared_s1)
     else:
         key = _sharded_runner_key(tables, b, l1k, l2p, mesh, bool(interpret),
                                   k)
     return _WARMER.submit(
         key, lambda: warm_fused_runner(tables, b, l1k, l2p, interpret, k,
-                                       mesh))
+                                       mesh, shared_s1))
 
 
 def warmup_join(timeout: float = 600.0) -> bool:
@@ -727,6 +740,34 @@ def unpack_query_inputs(inbuf, l1k: int, l2p: int):
     return c1b, c2b, inbuf[:, w1 + w2]
 
 
+def pack_query_inputs_shared(c1_row, c2b, noffs):
+    """Shared-Seq1 wire format: (inbuf (B, w2+1), c1w (w1,)) int32.
+
+    The realistic serving pattern is many Seq2 reads against ONE Seq1
+    reference; per-query Seq1 upload (1712 B at 2048x512) dominates wire
+    bytes, which ARE sustained throughput on the bandwidth-bound tunnel
+    (~45-50 MB/s healthy, ~8 MB/s degraded) — and PCIe bytes on directly
+    attached hardware.  When every row of a microbatch shares Seq1, it
+    ships once and the device broadcasts: wire drops from ~2.1 KB to
+    ~0.7 KB per query.  Layout: inbuf row = [c2 words | noff]; c1w = the
+    shared row's 5-bit code words."""
+    b = np.asarray(c2b).shape[0]
+    inbuf = np.concatenate(
+        [pack_code_rows(c2b),
+         np.asarray(noffs, np.int32).reshape(b, 1)], axis=1)
+    return inbuf, pack_code_rows(np.asarray(c1_row)[None])[0]
+
+
+def unpack_query_inputs_shared(inbuf, c1w, b: int, l1k: int, l2p: int):
+    """In-graph inverse of `pack_query_inputs_shared`: broadcast the one
+    uploaded Seq1 row to the batch (device-side bytes are ~free; wire
+    bytes are not)."""
+    w2 = _packed_words(l2p)
+    c2b = unpack_code_rows(inbuf[:, :w2], l2p)
+    c1b = jnp.broadcast_to(unpack_code_rows(c1w[None], l1k), (b, l1k))
+    return c1b, c2b, inbuf[:, w2]
+
+
 def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
                               interpret: bool, k: int = TOPK):
     """Jitted scan returning per query the top-k f32 candidates WITH their
@@ -773,7 +814,8 @@ def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
 
 
 def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
-                              l2p: int, interpret: bool, k: int = TOPK):
+                              l2p: int, interpret: bool, k: int = TOPK,
+                              shared_s1: bool = False):
     """Single-pallas_call batch runner: the whole batch is one kernel grid
     (ops/pallas_sweep._sweep_pallas_batched, HBM-resident operands with
     per-chunk DMA), then a vmapped checkable-exact top-k epilogue.
@@ -789,8 +831,13 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
     code columns built in XLA); this lifts the same property to the whole
     XLA program.  Cold buckets (the serving-tail hazard, SERVE_r03 p99)
     now arise only from new SHAPES.
+
+    shared_s1=True selects the dedup-Seq1 wire variant: the runner takes
+    (inbuf (B, w2+1), c1w (w1,)) — ONE uploaded Seq1 row broadcast on
+    device — cutting per-query wire bytes ~3x for the many-reads-vs-one-
+    reference serving pattern (see pack_query_inputs_shared).
     """
-    key = _fused_runner_key(tables, b, l1k, l2p, interpret, k)
+    key = _fused_runner_key(tables, b, l1k, l2p, interpret, k, shared_s1)
     run = _cache_get(_EXACT_RUNNERS, key)
     if run is None:
         import jax
@@ -799,20 +846,36 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
         compact = epilogue_compact(l1k - l2p, l2p)
         is_max = tables.is_max
 
-        @jax.jit
-        def generic(inbuf, code_tab, w32, diff32, eps):
-            stats5, noffs = _fused_stats5(inbuf, code_tab, b, l1k, l2p,
-                                          interpret)
+        def _epilogue(c1b, c2b, noffs, code_tab, w32, diff32, eps):
+            stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, b, l1k,
+                                              l2p, interpret)
             return pack_epilogue_outputs(
                 *exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max,
                                               noffs, eps, k),
                 compact)
+
+        if shared_s1:
+            @jax.jit
+            def generic(inbuf, c1w, code_tab, w32, diff32, eps):
+                c1b, c2b, noffs = unpack_query_inputs_shared(
+                    inbuf, c1w, b, l1k, l2p)
+                return _epilogue(c1b, c2b, noffs, code_tab, w32, diff32,
+                                 eps)
+        else:
+            @jax.jit
+            def generic(inbuf, code_tab, w32, diff32, eps):
+                c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+                return _epilogue(c1b, c2b, noffs, code_tab, w32, diff32,
+                                 eps)
 
         run = _cache_put(_EXACT_RUNNERS, key,
                          _mark_warm_after_first(generic, key))
 
     code_tab, w32, diff32 = weights_operands(tables)
     eps = np.float32(f32_band_epsilon(tables, l2p))
+    if shared_s1:
+        return lambda inbuf, c1w: run(inbuf, c1w, code_tab, w32, diff32,
+                                      eps)
     return lambda inbuf: run(inbuf, code_tab, w32, diff32, eps)
 
 
@@ -1019,9 +1082,15 @@ def _round_batch(n: int, cap: int) -> int:
 def batched_search_exact_async(c1b, c2b, noffs, n2s, tables: ScoringTables,
                                interpret: bool | None = None, k: int = TOPK,
                                fused: bool = True,
-                               micro_b: int | None = None):
+                               micro_b: int | None = None,
+                               shared_s1: bool | None = None):
     """Async `batched_search_exact`: every microbatch dispatches up front,
-    (handles, finish) returns — see `_dispatch_all_spans`."""
+    (handles, finish) returns — see `_dispatch_all_spans`.
+
+    shared_s1: use the dedup-Seq1 wire variant (Seq1 ships once per
+    microbatch, broadcast on device — ~3x fewer upload bytes for the
+    many-reads-vs-one-reference pattern).  None = auto-detect by row
+    equality; results are bit-identical either way."""
     import jax
 
     from psa_tpu.config import CONFIG
@@ -1035,11 +1104,25 @@ def batched_search_exact_async(c1b, c2b, noffs, n2s, tables: ScoringTables,
     b_n, l1k = c1b.shape
     l2p = c2b.shape[1]
     mb = int(micro_b) if micro_b else CONFIG.micro_batch
+    if shared_s1 is None:
+        shared_s1 = bool((c1b == c1b[:1]).all())
+    shared_s1 = bool(shared_s1 and fused and b_n > 1)
+    c1w_shared = (jnp.asarray(pack_code_rows(c1b[:1])[0]) if shared_s1
+                  else None)
     results: list = [None] * b_n
 
     def dispatch(s: int, e: int):
         bpad = _round_batch(e - s, mb)
         p1, p2, pn = _pad_batch_rows(c1b[s:e], c2b[s:e], noffs[s:e], bpad)
+        if shared_s1:
+            # dummy pad rows share the real Seq1: their all-PAD c2 makes
+            # every pair code inert (-> no-mutation), and they're sliced
+            # off in finish regardless
+            run = make_batched_fused_runner(tables, bpad, l1k, l2p,
+                                            bool(interpret), k,
+                                            shared_s1=True)
+            inbuf, _ = pack_query_inputs_shared(c1b[0], p2, pn)
+            return run(jnp.asarray(inbuf), c1w_shared)
         if fused:
             run = make_batched_fused_runner(tables, bpad, l1k, l2p,
                                             bool(interpret), k)
@@ -1058,7 +1141,8 @@ def batched_search_exact_async(c1b, c2b, noffs, n2s, tables: ScoringTables,
 
 def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
                          interpret: bool | None = None, k: int = TOPK,
-                         fused: bool = True, micro_b: int | None = None):
+                         fused: bool = True, micro_b: int | None = None,
+                         shared_s1: bool | None = None):
     """Bit-exact batched search: device top-k candidates -> host sequential
     re-scoring (same machinery as the single-query path, ops/select.py).
 
@@ -1074,7 +1158,8 @@ def batched_search_exact(c1b, c2b, noffs, n2s, tables: ScoringTables,
     correctness never depends on the f32 ranking.
     """
     _, finish = batched_search_exact_async(c1b, c2b, noffs, n2s, tables,
-                                           interpret, k, fused, micro_b)
+                                           interpret, k, fused, micro_b,
+                                           shared_s1)
     return finish()
 
 
@@ -1332,18 +1417,27 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
             use_device = backend == "pallas"
         device_failed = False
         cold_routed = False
+        # dedup-Seq1 wire variant when the whole bucket shares one Seq1
+        # (the many-reads-vs-one-reference pattern); string equality
+        # guarantees identical encoded rows, so the key prediction below
+        # and the dispatcher's choice can't diverge
+        s1_0 = queries[idxs[0]].seq1
+        shared_s1 = (mesh is None and len(idxs) > 1
+                     and all(queries[i].seq1 == s1_0 for i in idxs[1:]))
         if use_device and cold_route:
             # never block replies on a compile: a bucket whose runner is
             # not built yet answers from the host engine THIS call while
             # the single background warmer compiles it
             tables_cr = build_tables_cached(np.asarray(w), is_max)
             missing = [kk for kk in planned_runner_keys(
-                tables_cr, len(idxs), l1k, l2p, mesh=mesh)
+                tables_cr, len(idxs), l1k, l2p, mesh=mesh,
+                shared_s1=shared_s1)
                 if not runner_is_warm(kk)]
             if missing:
                 for kk in missing:
                     warm_bucket_async(tables_cr, runner_key_batch(kk), l1k,
-                                      l2p, mesh=mesh)
+                                      l2p, mesh=mesh,
+                                      shared_s1=kk[0] == "fusedWs1")
                 use_device = False
                 cold_routed = True
         if use_device:
@@ -1360,7 +1454,8 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                             c1b, c2b, noffs, n2s, tables, mesh)
                     else:
                         h, fin = batched_search_exact_async(
-                            c1b, c2b, noffs, n2s, tables)
+                            c1b, c2b, noffs, n2s, tables,
+                            shared_s1=shared_s1)
                 else:
                     # the non-deferred calls go through the module-level
                     # sync names (monkeypatchable seams the failure tests
