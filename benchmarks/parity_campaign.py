@@ -151,8 +151,14 @@ def main():
         from psa_tpu.ops.pallas_sweep import plan_shapes
 
         _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
-        c1b = np.stack([pad_codes(random_codes(n1, 0.05), l1k)
-                        for _ in range(B)])
+        if rng.random() < 0.3:
+            # shared-Seq1 pattern: exercises the dedup wire variant
+            # (auto-detected by row equality)
+            c1b = np.broadcast_to(pad_codes(random_codes(n1, 0.05), l1k),
+                                  (B, l1k)).copy()
+        else:
+            c1b = np.stack([pad_codes(random_codes(n1, 0.05), l1k)
+                            for _ in range(B)])
         c2b = np.stack([pad_codes(random_codes(n2, 0.05), l2p)
                         for _ in range(B)])
         noffs = np.full(B, noff, np.int32)
