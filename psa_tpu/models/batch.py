@@ -281,7 +281,8 @@ def _fused_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
 
 def runner_key_batch(key) -> int:
     """The padded batch size a fused/sharded runner key was built for."""
-    assert key[0] in ("fusedW", "fusedWs1", "fused-shardedW"), key
+    assert key[0] in ("fusedW", "fusedWs1", "fused-shardedW",
+                      "fused-shardedWs1"), key
     return key[2]
 
 
@@ -290,9 +291,10 @@ def _mesh_cache_key(mesh: Mesh):
 
 
 def _sharded_runner_key(tables: ScoringTables, b: int, l1k: int, l2p: int,
-                        mesh: Mesh, interpret: bool, k: int):
-    return ("fused-shardedW", tables.is_max, b, l1k, l2p,
-            _mesh_cache_key(mesh), interpret, k)
+                        mesh: Mesh, interpret: bool, k: int,
+                        shared_s1: bool = False):
+    return ("fused-shardedW" + ("s1" if shared_s1 else ""), tables.is_max,
+            b, l1k, l2p, _mesh_cache_key(mesh), interpret, k)
 
 
 def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
@@ -322,7 +324,8 @@ def planned_runner_keys(tables: ScoringTables, b_n: int, l1k: int, l2p: int,
         for s, e in microbatch_spans(b_n, mb * ndev):
             per = _round_batch(-(-(e - s) // ndev), mb)
             keys.add(_sharded_runner_key(tables, per * ndev, l1k, l2p, mesh,
-                                         bool(interpret), k))
+                                         bool(interpret), k,
+                                         shared_s1 and b_n > 1))
     return keys
 
 
@@ -348,18 +351,17 @@ def warm_fused_runner(tables: ScoringTables, b: int, l1k: int, l2p: int,
     c2 = np.full((b, l2p), PAD_CODE, np.int8)
     noffs = np.ones(b, np.int32)
     # the runner wrapper marks the key warm when this call completes
-    if mesh is None and shared_s1:
+    if mesh is None:
         run = make_batched_fused_runner(tables, b, l1k, l2p, bool(interpret),
-                                        k, shared_s1=True)
+                                        k, shared_s1=shared_s1)
+    else:
+        run = make_batched_fused_sharded_runner(tables, b, l1k, l2p, mesh,
+                                                bool(interpret), k,
+                                                shared_s1=shared_s1)
+    if shared_s1:
         inbuf, c1w = pack_query_inputs_shared(c1[0], c2, noffs)
         jax.block_until_ready(run(jnp.asarray(inbuf), jnp.asarray(c1w)))
         return
-    if mesh is None:
-        run = make_batched_fused_runner(tables, b, l1k, l2p, bool(interpret),
-                                        k)
-    else:
-        run = make_batched_fused_sharded_runner(tables, b, l1k, l2p, mesh,
-                                                bool(interpret), k)
     jax.block_until_ready(run(jnp.asarray(pack_query_inputs(c1, c2, noffs))))
 
 
@@ -881,7 +883,8 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
 
 def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
                                       l1k: int, l2p: int, mesh: Mesh,
-                                      interpret: bool, k: int = TOPK):
+                                      interpret: bool, k: int = TOPK,
+                                      shared_s1: bool = False):
     """Mesh-data-parallel exact batch runner.
 
     The GLOBAL batch of b queries shards over the mesh's first axis; each
@@ -894,11 +897,14 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
 
     Weights-generic like `make_batched_fused_runner`: the weight tables are
     replicated runtime operands, so the compiled shard_map program is keyed
-    on (mode, batch, shapes, mesh) only.
+    on (mode, batch, shapes, mesh) only.  shared_s1=True additionally
+    ships ONE Seq1 row (replicated operand) instead of B copies — each
+    shard broadcasts it to its local queries.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    key = _sharded_runner_key(tables, b, l1k, l2p, mesh, interpret, k)
+    key = _sharded_runner_key(tables, b, l1k, l2p, mesh, interpret, k,
+                              shared_s1)
     run = _cache_get(_EXACT_RUNNERS, key)
     if run is None:
         assert b % ndev == 0, (b, ndev)
@@ -907,11 +913,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
         compact = epilogue_compact(l1k - l2p, l2p)
         is_max = tables.is_max
 
-        def local(inbuf, code_tab, w32, diff32, eps):
-            # ONE packed upload (5-bit code words + noff,
-            # pack_query_inputs), sharded on the batch axis; unpacked
-            # in-graph per shard; weight operands replicated
-            c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+        def _local_epilogue(c1b, c2b, noffs, code_tab, w32, diff32, eps):
             stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, bl, l1k,
                                               l2p, interpret)
             return pack_epilogue_outputs(
@@ -919,8 +921,29 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
                                               noffs, eps, k),
                 compact)
 
+        if shared_s1:
+            def local(inbuf, c1w, code_tab, w32, diff32, eps):
+                # inbuf = [c2 words | noff] sharded on the batch axis;
+                # the one Seq1 row is replicated and broadcast per shard
+                c1b, c2b, noffs = unpack_query_inputs_shared(
+                    inbuf, c1w, bl, l1k, l2p)
+                return _local_epilogue(c1b, c2b, noffs, code_tab, w32,
+                                       diff32, eps)
+
+            in_specs = (P(axis), P(), P(), P(), P(), P())
+        else:
+            def local(inbuf, code_tab, w32, diff32, eps):
+                # ONE packed upload (5-bit code words + noff,
+                # pack_query_inputs), sharded on the batch axis; unpacked
+                # in-graph per shard; weight operands replicated
+                c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
+                return _local_epilogue(c1b, c2b, noffs, code_tab, w32,
+                                       diff32, eps)
+
+            in_specs = (P(axis), P(), P(), P(), P())
+
         fn = jax.jit(shard_map(local, mesh=mesh,
-                               in_specs=(P(axis), P(), P(), P(), P()),
+                               in_specs=in_specs,
                                out_specs=P(axis),
                                check_vma=False))  # pallas_call: no vma
         run = _cache_put(_EXACT_RUNNERS, key,
@@ -928,6 +951,9 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
 
     code_tab, w32, diff32 = weights_operands(tables)
     eps = np.float32(f32_band_epsilon(tables, l2p))
+    if shared_s1:
+        return lambda inbuf, c1w: run(inbuf, c1w, code_tab, w32, diff32,
+                                      np.asarray(eps))
     return lambda inbuf: run(inbuf, code_tab, w32, diff32,
                              np.asarray(eps))
 
@@ -936,9 +962,14 @@ def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
                                        tables: ScoringTables, mesh: Mesh,
                                        interpret: bool | None = None,
                                        k: int = TOPK,
-                                       micro_b: int | None = None):
+                                       micro_b: int | None = None,
+                                       shared_s1: bool | None = None):
     """Async `batched_search_exact_sharded`: every microbatch dispatches up
-    front, (handles, finish) returns — see `_dispatch_all_spans`."""
+    front, (handles, finish) returns — see `_dispatch_all_spans`.
+
+    shared_s1 (None = auto-detect by row equality): ship the one shared
+    Seq1 row as a replicated operand instead of B copies on the sharded
+    batch axis — bit-identical either way."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     c1b = np.asarray(c1b)
@@ -952,6 +983,11 @@ def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
     from psa_tpu.config import CONFIG
 
     mb = int(micro_b) if micro_b else CONFIG.micro_batch
+    if shared_s1 is None:
+        shared_s1 = bool((c1b == c1b[:1]).all())
+    shared_s1 = bool(shared_s1 and b_n > 1)
+    c1w_shared = (jnp.asarray(pack_code_rows(c1b[:1])[0]) if shared_s1
+                  else None)
     results: list = [None] * b_n
 
     def dispatch(s: int, e: int):
@@ -960,7 +996,10 @@ def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
                                      per * ndev)
         run = make_batched_fused_sharded_runner(tables, per * ndev, l1k,
                                                 l2p, mesh, bool(interpret),
-                                                k)
+                                                k, shared_s1=shared_s1)
+        if shared_s1:
+            inbuf, _ = pack_query_inputs_shared(c1b[0], p2, pn)
+            return run(jnp.asarray(inbuf), c1w_shared)
         return run(jnp.asarray(pack_query_inputs(p1, p2, pn)))
 
     return _dispatch_all_spans(
@@ -971,7 +1010,8 @@ def batched_search_exact_sharded_async(c1b, c2b, noffs, n2s,
 def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
                                  tables: ScoringTables, mesh: Mesh,
                                  interpret: bool | None = None,
-                                 k: int = TOPK, micro_b: int | None = None):
+                                 k: int = TOPK, micro_b: int | None = None,
+                                 shared_s1: bool | None = None):
     """Bit-exact batched search with the batch axis sharded over a mesh.
 
     Same contract as `batched_search_exact` (list of SearchResult | None,
@@ -983,7 +1023,8 @@ def batched_search_exact_sharded(c1b, c2b, noffs, n2s,
     workload size and each microbatch is ONE packed upload.
     """
     _, finish = batched_search_exact_sharded_async(
-        c1b, c2b, noffs, n2s, tables, mesh, interpret, k, micro_b)
+        c1b, c2b, noffs, n2s, tables, mesh, interpret, k, micro_b,
+        shared_s1)
     return finish()
 
 
@@ -1422,7 +1463,7 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
         # guarantees identical encoded rows, so the key prediction below
         # and the dispatcher's choice can't diverge
         s1_0 = queries[idxs[0]].seq1
-        shared_s1 = (mesh is None and len(idxs) > 1
+        shared_s1 = (len(idxs) > 1
                      and all(queries[i].seq1 == s1_0 for i in idxs[1:]))
         if use_device and cold_route:
             # never block replies on a compile: a bucket whose runner is
@@ -1437,7 +1478,7 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                 for kk in missing:
                     warm_bucket_async(tables_cr, runner_key_batch(kk), l1k,
                                       l2p, mesh=mesh,
-                                      shared_s1=kk[0] == "fusedWs1")
+                                      shared_s1=kk[0].endswith("s1"))
                 use_device = False
                 cold_routed = True
         if use_device:
@@ -1451,7 +1492,8 @@ def _search_batch_impl(queries, backend: str, strict_alphabet: bool,
                 if defer:
                     if mesh is not None:
                         h, fin = batched_search_exact_sharded_async(
-                            c1b, c2b, noffs, n2s, tables, mesh)
+                            c1b, c2b, noffs, n2s, tables, mesh,
+                            shared_s1=shared_s1)
                     else:
                         h, fin = batched_search_exact_async(
                             c1b, c2b, noffs, n2s, tables,

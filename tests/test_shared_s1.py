@@ -112,6 +112,34 @@ def test_search_batch_shared_seq1_end_to_end():
             ref.offset, ref.char_offset, ref.sub_code, ref.score)
 
 
+def test_shared_s1_sharded_mesh_exact():
+    """Dedup-Seq1 on the mesh-sharded batch path: one replicated Seq1
+    operand, batch axis sharded, results oracle-exact."""
+    import jax
+
+    from psa_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(505)
+    b, n1, n2 = 6, 700, 120
+    c1, c1b, c2b, noffs, n2s, l1k, l2p = _shared_batch(rng, b, n1, n2)
+    w = np.array([1.0, 3.0, 4.0, 2.0])
+    t = build_tables(w, False)
+    ndev = min(2, len(jax.devices()))
+    mesh = make_mesh(jax.devices()[:ndev], axis="dp")
+    rs = bm.batched_search_exact_sharded(c1b, c2b, noffs, n2s, t, mesh,
+                                         interpret=True)
+    key = bm._sharded_runner_key(
+        t, bm._round_batch(-(-b // ndev), 1024) * ndev, l1k, l2p, mesh,
+        True, bm.TOPK, shared_s1=True)
+    assert bm.runner_is_warm(key)
+    ref_eng = AlignmentSearchEngine(w, False, backend="numpy")
+    for q in range(b):
+        ref = ref_eng.search_codes(c1, c2b[q][:n2])
+        got = rs[q]
+        assert (got.offset, got.char_offset, got.sub_code, got.score) == (
+            ref.offset, ref.char_offset, ref.sub_code, ref.score), q
+
+
 def test_shared_s1_multi_microbatch_spans():
     """Shared Seq1 across several microbatches: one c1 upload, every span
     through the dedup runner, exact results."""
