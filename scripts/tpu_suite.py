@@ -53,7 +53,7 @@ PHASES = [
     ]),
     ("batch", [
         "tests/test_batch.py", "tests/test_batch_exact.py",
-        "tests/test_fuzz.py",
+        "tests/test_shared_s1.py", "tests/test_fuzz.py",
     ]),
 ]
 
