@@ -191,7 +191,7 @@ def main():
         if case % 10 == 9:
             from psa_tpu.models import batch as _bm
 
-            _bm._EXACT_RUNNERS.clear()   # shape-keyed runner closures
+            _bm.reset_runner_caches()   # runners + warm flags together
             jax.clear_caches()
 
     # --- regime 4: mesh-sharded exact batch path ---------------------------
@@ -242,7 +242,7 @@ def main():
             f"{time.perf_counter()-t0:.0f}s)")
         from psa_tpu.models import batch as _bm
 
-        _bm._EXACT_RUNNERS.clear()
+        _bm.reset_runner_caches()
         jax.clear_caches()
 
     # --- regime 5: serve protocol end-to-end -------------------------------
@@ -392,7 +392,7 @@ def main():
                 f"({time.perf_counter()-t0:.0f}s)")
             from psa_tpu.models import batch as _bm
 
-            _bm._EXACT_RUNNERS.clear()
+            _bm.reset_runner_caches()
             jax.clear_caches()
     finally:
         ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET = saved

@@ -194,7 +194,6 @@ def shard_ladder(args, sizes) -> int:
 
     # --- per-shard device sweep at noff_pad/N ------------------------------
     shard_rows = []
-    t1 = None
     for d in sizes:
         if noff_pad % (d * 512):
             log(f"[scaling] skip N={d}: noff_pad {noff_pad} not divisible "
@@ -221,8 +220,6 @@ def shard_ladder(args, sizes) -> int:
         t0 = time.perf_counter()
         np.asarray(chained(a, b, args.iters))
         dt = (time.perf_counter() - t0) / args.iters
-        if t1 is None:
-            t1 = dt
         shard_rows.append({"devices": d, "shard_noff_pad": noff_n,
                            "t_shard_ms": dt * 1e3})
         log(f"[scaling] N={d}: shard sweep {dt*1e3:8.2f} ms "
@@ -256,11 +253,14 @@ def shard_ladder(args, sizes) -> int:
     d0 = shard_rows[0]["devices"] if shard_rows else 1
     eff_field = ("predicted_efficiency_vs_1chip" if d0 == 1
                  else f"predicted_efficiency_vs_{d0}chip_baseline")
+    # canonical T(d0) / ((d/d0) * T(d)) with T = shard sweep + merge on
+    # BOTH sides, so the baseline rung reports exactly 1.0
+    base_ms = shard_rows[0]["t_shard_ms"] + merge_ms[d0] if shard_rows else 0
     for row in shard_rows:
         d = row["devices"]
         pred_ms = row["t_shard_ms"] + merge_ms[d]
         rate = pair_evals / (pred_ms * 1e-3)
-        eff = (t1 * 1e3) * d0 / (d * pred_ms)
+        eff = base_ms * d0 / (d * pred_ms)
         results.append({**row, "t_merge_ms": round(merge_ms[d], 3),
                         "predicted_total_ms": round(pred_ms, 3),
                         "predicted_pair_evals_per_sec": rate,

@@ -237,6 +237,20 @@ def runner_is_warm(key) -> bool:
         return key in _WARM_KEYS
 
 
+def reset_runner_caches() -> None:
+    """Drop every cached runner AND its warm flag together.
+
+    The warm-flag invariant (warm => a compiled executable is cached) is
+    otherwise maintained only via _cache_put's eviction; anything that
+    clears `_EXACT_RUNNERS` / `jax.clear_caches()` by hand (campaign,
+    long-running test harnesses) must go through here or cold_route would
+    dispatch a 'warm' bucket straight into a synchronous recompile."""
+    with _CACHE_LOCK:
+        _EXACT_RUNNERS.clear()
+        _PALLAS_RUNNERS.clear()
+        _WARM_KEYS.clear()
+
+
 def _mark_warm(key) -> None:
     # only while the runner is still cached: a concurrent LRU eviction
     # (_cache_put) may have dropped this key mid-call, and a warm flag
@@ -504,7 +518,7 @@ def warm_bucket_async(tables: ScoringTables, b: int, l1k: int, l2p: int,
                                 shared_s1)
     else:
         key = _sharded_runner_key(tables, b, l1k, l2p, mesh, bool(interpret),
-                                  k)
+                                  k, shared_s1)
     return _WARMER.submit(
         key, lambda: warm_fused_runner(tables, b, l1k, l2p, interpret, k,
                                        mesh, shared_s1))

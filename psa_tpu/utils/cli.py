@@ -508,15 +508,23 @@ def _serve_warmup(args, mesh) -> int:
                   file=sys.stderr)
             continue
         _, _, l2p, l1k = plan_shapes(len(ent.seq1), len(ent.seq2))
-        buckets[(tuple(float(x) for x in ent.weights), ent.is_max, l1k,
-                 l2p)] = None
+        buckets.setdefault(
+            (tuple(float(x) for x in ent.weights), ent.is_max, l1k, l2p),
+            []).append(ent.seq1)
     chunk = max(1, args.serve_batch)
     done: set = set()
-    for w, is_max, l1k, l2p in buckets:
+    for (w, is_max, l1k, l2p), s1s in buckets.items():
         tables = build_tables_cached(np.asarray(w), is_max)
-        for key in sorted(planned_runner_keys(tables, chunk, l1k, l2p,
-                                              mesh=mesh),
-                          key=runner_key_batch):
+        # warm the wire variant the declared traffic will use: a bucket
+        # whose file queries all share Seq1 dispatches through the dedup
+        # 's1' runners — warm those AND the plain variant (mixed/straggler
+        # chunks still use it)
+        shared = len(s1s) > 1 and all(s == s1s[0] for s in s1s[1:])
+        keys = planned_runner_keys(tables, chunk, l1k, l2p, mesh=mesh)
+        if shared:
+            keys |= planned_runner_keys(tables, chunk, l1k, l2p, mesh=mesh,
+                                        shared_s1=True)
+        for key in sorted(keys, key=runner_key_batch):
             if key in done:
                 # runners are weights-generic: a second weight vector on
                 # the same (mode, shape) bucket shares the compiled
@@ -527,7 +535,8 @@ def _serve_warmup(args, mesh) -> int:
             bsz = runner_key_batch(key)
             t0 = time.perf_counter()
             try:
-                warm_fused_runner(tables, bsz, l1k, l2p, mesh=mesh)
+                warm_fused_runner(tables, bsz, l1k, l2p, mesh=mesh,
+                                  shared_s1=key[0].endswith("s1"))
             except Exception as e:  # noqa: BLE001 - warmup is best-effort
                 print(f"warning: warmup failed for bucket "
                       f"(B={bsz}, l1k={l1k}, l2p={l2p}): "

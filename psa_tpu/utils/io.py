@@ -155,10 +155,15 @@ def _parse_query_lines_native(lines, check_alphabet: bool, native) -> list:
         st = status[j]
         if st == native.PARSE_BLANK:
             continue
+        # Python precedence: parse_input raises the finite-weights error
+        # BEFORE the seq-order check, and before the alphabet check (which
+        # runs after parse_input) — the C scanner sets status 3/4 after
+        # parsing weights, so apply the finite rule first for those too
+        if st in (native.PARSE_OK, native.PARSE_SEQ_ORDER,
+                  native.PARSE_ALPHABET) and not finite[j]:
+            entries[j] = WEIGHTS_FINITE_ERROR
+            continue
         if st == native.PARSE_OK:
-            if not finite[j]:
-                entries[j] = WEIGHTS_FINITE_ERROR
-                continue
             ln = lines[j]
             a, b = s1_off[j], s2_off[j]
             entries[j] = Query(weights=weights[j],

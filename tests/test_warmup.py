@@ -254,6 +254,36 @@ def test_cli_serve_warmup_precompiles(monkeypatch, capsys, tmp_path):
         assert bm.runner_is_warm(key)
 
 
+def test_cli_serve_warmup_shared_pattern_warms_s1_variant(monkeypatch,
+                                                         capsys, tmp_path):
+    """A warmup file whose bucket queries share one Seq1 pre-compiles the
+    dedup-Seq1 runner variant (plus the plain one for mixed chunks)."""
+    from psa_tpu.core.tables import build_tables_cached
+    from psa_tpu.utils.cli import main
+
+    w = (2.5, 3.0, 4.0, 1.75)
+    s1, _ = random_sequences(600, 100, seed=7)
+    lines = []
+    for seed in (8, 9):
+        _, s2 = random_sequences(600, 100, seed=seed)
+        lines.append(" ".join("%g" % x for x in w) + f" {s1} {s2} minimum")
+    wf = tmp_path / "warm_shared.txt"
+    wf.write_text("\n".join(lines) + "\n")
+    t = build_tables_cached(np.asarray(w), False)
+    l1k, l2p = _bucket_shapes()
+    plain = bm.planned_runner_keys(t, 4, l1k, l2p)
+    s1keys = bm.planned_runner_keys(t, 4, l1k, l2p, shared_s1=True)
+    _forget(plain | s1keys)
+    monkeypatch.setenv("PSA_COLD_ROUTE", "0")
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    assert main(["--serve", "--quiet", "--backend", "pallas",
+                 "--serve-batch", "4", "--warmup", str(wf)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and not any(o.startswith("error") for o in out)
+    for key in plain | s1keys:
+        assert bm.runner_is_warm(key), key
+
+
 def test_cli_warmup_missing_file_errors(monkeypatch, capsys):
     from psa_tpu.utils.cli import main
 

@@ -34,6 +34,9 @@ ADVERSARIAL_LINES = [
     "inf -2.5 1e3 NAN ABCD AB minimum",         # words C hands to Python
     "1e999 2 3 4 ABCD AB minimum",              # overflow -> finite-weights
                                                 #   error both ways
+    "1e999 2 3 4 AB ABC minimum",               # finite error precedes the
+                                                #   seq-order error
+    "1e999 2 3 4 AB@ AB minimum",               # ...and the alphabet error
     "1 2 3 4 AB-C A- maximum",                  # hyphens are in-alphabet
     "1 2 3 4 SéQ AB minimum",              # non-ASCII seq
     "1 2 3 4 ABCD AB minimum",             # non-ASCII whitespace
