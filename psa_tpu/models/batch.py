@@ -401,6 +401,10 @@ class _Warmer:
         self._active = None             # key mid-compile (guarded too)
         self._closing = False           # exit drain in progress
         self._t = None
+        # long-lived serve processes wait longer for an in-flight compile at
+        # exit (losing it costs the next cold hit a synchronous stall); a
+        # one-shot CLI invocation loses nothing, so it bounds the wait low
+        self.long_lived = False
 
     def submit(self, key, fn) -> bool:
         with _CACHE_LOCK:
@@ -474,10 +478,17 @@ class _Warmer:
                 active = self._active
         if active is None:
             return
-        timeout = float(os.environ.get("PSA_WARMER_EXIT_TIMEOUT", "1800"))
-        print("[psa] waiting for the in-flight background bucket compile "
-              "before exit (bound: PSA_WARMER_EXIT_TIMEOUT="
-              f"{timeout:.0f}s)", file=sys.stderr)
+        # default bound: 1800 s for a serve process (the compile is worth
+        # keeping — see mark_serve_process), 300 s for a one-shot CLI run
+        # where losing it is harmless (the wait exists only to avoid
+        # tearing down PJRT mid-RPC)
+        default = "1800" if self.long_lived else "300"
+        timeout = float(os.environ.get("PSA_WARMER_EXIT_TIMEOUT", default))
+        print(f"[psa] waiting for the in-flight background compile of "
+              f"bucket {active!r} before exit (bound: "
+              f"PSA_WARMER_EXIT_TIMEOUT={timeout:.0f}s; a cold Mosaic "
+              "compile through a remote-TPU tunnel can take minutes)",
+              file=sys.stderr)
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             with _CACHE_LOCK:
@@ -501,6 +512,13 @@ class _Warmer:
 
 
 _WARMER = _Warmer()
+
+
+def mark_serve_process() -> None:
+    """Called by long-lived serve loops: at-exit waits for an in-flight
+    background compile with the long (serve) default bound, because the
+    compiled bucket would be reused; one-shot CLI runs keep a short bound."""
+    _WARMER.long_lived = True
 
 
 def warm_bucket_async(tables: ScoringTables, b: int, l1k: int, l2p: int,
@@ -563,14 +581,20 @@ def weights_operands(tables: ScoringTables):
     so repeat dispatches reuse the same arrays (and device transfers can be
     deduped by the runtime)."""
     key = (tuple(tables.weights.tolist()), tables.is_max)
-    ops = _WOP_CACHE.get(key)
-    if ops is None:
-        diff32 = np.zeros(NUM_RANKS_PAD + 1, np.float32)
-        nd = tables.diff_vals.size
-        assert nd <= NUM_RANKS_PAD, nd
-        diff32[:nd] = tables.diff_vals.astype(np.float32)
-        ops = (np.asarray(tables.code), tables.w_signed.astype(np.float32),
-               diff32)
+    with _CACHE_LOCK:
+        # locked like every other shared cache here: the serve loop, the
+        # Finisher, and the background warmer all call this concurrently —
+        # an unlocked get/clear/set could drop a just-inserted entry
+        ops = _WOP_CACHE.get(key)
+        if ops is not None:
+            return ops
+    diff32 = np.zeros(NUM_RANKS_PAD + 1, np.float32)
+    nd = tables.diff_vals.size
+    assert nd <= NUM_RANKS_PAD, nd
+    diff32[:nd] = tables.diff_vals.astype(np.float32)
+    ops = (np.asarray(tables.code), tables.w_signed.astype(np.float32),
+           diff32)
+    with _CACHE_LOCK:
         if len(_WOP_CACHE) > 4 * _RUNNER_CACHE_CAP:
             _WOP_CACHE.clear()       # unbounded weight diversity guard
         _WOP_CACHE[key] = ops

@@ -266,12 +266,24 @@ const int8_t* enc_table() {
 // line degrades to Python fallback — but it silently kills the fast path).
 // Parse against a cached "C" numeric locale so acceptance and value are
 // locale-independent by construction.  newlocale failure (0) falls back to
-// plain strtod.
+// plain strtod.  newlocale/strtod_l as used here are POSIX.2008+glibc; on
+// other platforms (macOS wants <xlocale.h>, MSVC spells it _strtod_l) the
+// guard below falls back to plain strtod, which the lc==0 path already
+// handles — correctness is unchanged, only locale-independence is lost on
+// exotic-locale embedders there.
+#if defined(__GLIBC__)
 locale_t c_numeric_locale() {
     static const locale_t loc =
         newlocale(LC_NUMERIC_MASK, "C", static_cast<locale_t>(0));
     return loc;
 }
+#else
+typedef int psa_no_locale_t;
+static inline psa_no_locale_t c_numeric_locale() { return 0; }
+static inline double strtod_l(const char*, char**, psa_no_locale_t) {
+    return 0.0;  // unreachable: callers test lc before calling
+}
+#endif
 
 }  // namespace
 
@@ -353,8 +365,8 @@ void psa_parse_chunk(const uint8_t* buf, const int64_t* line_off,
             if (fallback) break;
             tmp[tl] = '\0';
             char* end = nullptr;
-            const locale_t lc = c_numeric_locale();
-            const double v = lc ? strtod_l(tmp, &end, lc)
+            const auto lc = c_numeric_locale();  // locale_t, or the no-op
+            const double v = lc ? strtod_l(tmp, &end, lc)  // int stand-in
                                 : strtod(tmp, &end);
             if (end != tmp + tl) { fallback = true; break; }
             weights[4 * static_cast<int64_t>(j) + w] = v;

@@ -102,7 +102,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "pay a cold compile inside the reply path (a cold "
                         "Mosaic compile can take minutes; unwarmed buckets "
                         "answer from the host engine while a background "
-                        "thread compiles them)")
+                        "thread compiles them). By default only the "
+                        "FULL-chunk batch size is compiled (see "
+                        "--warmup-sizes): partial or trickle chunks dispatch "
+                        "at smaller power-of-two batch sizes and still pay "
+                        "one background compile each on first hit")
+    p.add_argument("--warmup-sizes", default="chunk", metavar="SPEC",
+                   help="batch sizes to pre-compile per --warmup bucket: "
+                        "`chunk` (default: one full --serve-batch chunk — "
+                        "cheapest, covers saturated traffic), `ladder` "
+                        "(every power of two 1..chunk — covers partial and "
+                        "trickle chunks too, at one compile per size), or a "
+                        "comma list of sizes (e.g. `64,256`)")
     p.add_argument("--listen", default=None, metavar="HOST:PORT",
                    help="with --serve: answer TCP connections instead of "
                         "stdin — one event loop serves every client, and "
@@ -454,8 +465,10 @@ def _main_serve(args) -> int:
     """
     import contextlib
 
+    from psa_tpu.models.batch import mark_serve_process
     from psa_tpu.utils.profiling import trace
 
+    mark_serve_process()   # long at-exit bound for in-flight bucket compiles
     mesh = _batch_mesh(args)
     if args.warmup:
         rc = _serve_warmup(args, mesh)
@@ -512,6 +525,23 @@ def _serve_warmup(args, mesh) -> int:
             (tuple(float(x) for x in ent.weights), ent.is_max, l1k, l2p),
             []).append(ent.seq1)
     chunk = max(1, args.serve_batch)
+    spec = getattr(args, "warmup_sizes", "chunk") or "chunk"
+    if spec == "chunk":
+        sizes = [chunk]
+    elif spec == "ladder":
+        sizes, s = [], 1
+        while s < chunk:
+            sizes.append(s)
+            s *= 2
+        sizes.append(chunk)
+    else:
+        try:
+            sizes = sorted({max(1, min(int(x), chunk))
+                            for x in spec.split(",") if x.strip()})
+        except ValueError:
+            print(f"error: bad --warmup-sizes `{spec}` (use `chunk`, "
+                  "`ladder`, or a comma list of ints)", file=sys.stderr)
+            return 2
     done: set = set()
     for (w, is_max, l1k, l2p), s1s in buckets.items():
         tables = build_tables_cached(np.asarray(w), is_max)
@@ -520,10 +550,12 @@ def _serve_warmup(args, mesh) -> int:
         # 's1' runners — warm those AND the plain variant (mixed/straggler
         # chunks still use it)
         shared = len(s1s) > 1 and all(s == s1s[0] for s in s1s[1:])
-        keys = planned_runner_keys(tables, chunk, l1k, l2p, mesh=mesh)
-        if shared:
-            keys |= planned_runner_keys(tables, chunk, l1k, l2p, mesh=mesh,
-                                        shared_s1=True)
+        keys: set = set()
+        for bsz in sizes:
+            keys |= planned_runner_keys(tables, bsz, l1k, l2p, mesh=mesh)
+            if shared:
+                keys |= planned_runner_keys(tables, bsz, l1k, l2p, mesh=mesh,
+                                            shared_s1=True)
         for key in sorted(keys, key=runner_key_batch):
             if key in done:
                 # runners are weights-generic: a second weight vector on

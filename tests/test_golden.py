@@ -45,3 +45,48 @@ def test_golden_max_mode_self_consistent(golden_query):
     assert total == res.score
     assert char_off == res.char_offset
     assert sub_code == res.sub_code
+
+
+# Pinned MAX-mode golden for input.txt.  The reference ships no max-mode
+# output file (BASELINE.json config 1 names both modes), so the winner tuple
+# is frozen here as committed constants, derived 2026-08-20 from the numpy
+# oracle (offset_stats_numpy + select_best) and independently confirmed by
+# the sequential scorer, the native C++ engine, and the xla engine.  The
+# substitution engine's max half (get_max_substitute, cuda_funcs.cu:320-345)
+# otherwise has no end-to-end anchor: a max-mode-only table regression would
+# pass every min-mode golden test.
+GOLDEN_MAX = {"offset": 2335, "char_offset": 0, "sub_char": "V",
+              "score": -4587.0}
+
+
+@pytest.mark.parametrize("backend",
+                         ["numpy", "native", "xla", "conv", "pallas"])
+def test_golden_max_mode_pinned(golden_query, backend):
+    eng = AlignmentSearchEngine(golden_query.weights, True, backend=backend)
+    res = eng.search(golden_query.seq1, golden_query.seq2)
+    assert res.offset == GOLDEN_MAX["offset"]
+    assert res.char_offset == GOLDEN_MAX["char_offset"]
+    assert res.sub_char == GOLDEN_MAX["sub_char"]
+    assert res.score == GOLDEN_MAX["score"]
+    # the printed line the reference would write for this result
+    from psa_tpu.utils.io import format_output
+
+    out = format_output(res.mutant(golden_query.seq2), res.offset, res.score)
+    assert out.endswith("2335 -4587")
+
+
+def test_golden_max_mode_pinned_sharded(golden_query):
+    """The same pinned MAX winner through the mesh-sharded search path."""
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.parallel.mesh import make_mesh, search_sharded
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    c1, c2 = encode(golden_query.seq1), encode(golden_query.seq2)
+    tables = build_tables(golden_query.weights, True)
+    res = search_sharded(c1, c2, tables, make_mesh())
+    assert (res.offset, res.char_offset, res.sub_code, res.score) == (
+        GOLDEN_MAX["offset"], GOLDEN_MAX["char_offset"],
+        ord(GOLDEN_MAX["sub_char"]) - 65, GOLDEN_MAX["score"])

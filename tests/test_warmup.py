@@ -284,6 +284,48 @@ def test_cli_serve_warmup_shared_pattern_warms_s1_variant(monkeypatch,
         assert bm.runner_is_warm(key), key
 
 
+def test_cli_serve_warmup_sizes_ladder(monkeypatch, capsys, tmp_path):
+    """--warmup-sizes ladder pre-compiles the power-of-two batch ladder per
+    declared bucket, so PARTIAL chunks (which dispatch at smaller pow2
+    bucket sizes) also skip the cold compile — the r4 advisor's finding that
+    full-chunk-only warming undercuts the feature for trickle traffic."""
+    from psa_tpu.core.tables import build_tables_cached
+    from psa_tpu.utils.cli import main
+
+    w = (1.25, 3.5, 4.0, 2.0)
+    s1, s2 = random_sequences(600, 100, seed=11)
+    line = " ".join("%g" % x for x in w) + f" {s1} {s2} minimum"
+    wf = tmp_path / "warm_ladder.txt"
+    wf.write_text(line + "\n")
+    t = build_tables_cached(np.asarray(w), False)
+    l1k, l2p = _bucket_shapes()
+    ladder_keys: set = set()
+    for bsz in (1, 2, 4):
+        ladder_keys |= bm.planned_runner_keys(t, bsz, l1k, l2p)
+    assert sorted(bm.runner_key_batch(k) for k in ladder_keys) == [1, 2, 4]
+    _forget(ladder_keys)
+    monkeypatch.setenv("PSA_COLD_ROUTE", "0")
+    monkeypatch.setattr(sys, "stdin", io.StringIO(line + "\n"))
+    assert main(["--serve", "--quiet", "--backend", "pallas",
+                 "--serve-batch", "4", "--warmup", str(wf),
+                 "--warmup-sizes", "ladder"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and not out[0].startswith("error")
+    for key in ladder_keys:
+        assert bm.runner_is_warm(key), key
+
+
+def test_cli_warmup_bad_sizes_spec_errors(monkeypatch, capsys, tmp_path):
+    from psa_tpu.utils.cli import main
+
+    wf = tmp_path / "w.txt"
+    wf.write_text("1 3 4 2 ABC AB minimum\n")
+    monkeypatch.setattr(sys, "stdin", io.StringIO(""))
+    assert main(["--serve", "--quiet", "--warmup", str(wf),
+                 "--warmup-sizes", "4,banana"]) == 2
+    assert "bad --warmup-sizes" in capsys.readouterr().err
+
+
 def test_cli_warmup_missing_file_errors(monkeypatch, capsys):
     from psa_tpu.utils.cli import main
 
