@@ -127,6 +127,45 @@ def _fused_stats5_from_codes(c1b, c2b, code_tab, b: int,
     return jnp.concatenate([out[:, :4, :], maxrank], axis=1)
 
 
+def _fused_stats5_from_codes_shared(c1_row, c2b, code_tab, b: int,
+                                    l1k: int, l2p: int, interpret: bool):
+    """Shared-Seq1 fused sweep: c1_row is the ONE (l1k,) shared Seq1 code
+    vector -> stats5 (b, 5, noff_pad) int32, bit-identical to
+    `_fused_stats5_from_codes` on b broadcast copies.
+
+    Compute dedup for the flagship serving pattern (many Seq2 reads against
+    one Seq1 reference): the Seq1 operand ships/stays as ONE row (l1k, not
+    b*l1k, in HBM) and the kernel one-hot-expands each tile window once per
+    TILE instead of once per query (ops/pallas_sweep.
+    _sweep_kernel_batched_shared).  Streaming-Seq2 shapes (beyond the VMEM
+    residency budget) fall back to the plain batched kernel on a broadcast
+    batch — correctness never depends on the dedup."""
+    from psa_tpu.ops.pallas_sweep import (_batched_resident,
+                                          _sweep_pallas_batched_shared,
+                                          batched_plan,
+                                          maxrank_from_maxcode, pick_chunk)
+
+    noff_pad = l1k - l2p
+    chunk = pick_chunk(l2p)
+    nchunks = l2p // chunk
+    code_tab = jnp.asarray(code_tab)
+    tile, resident, _ = batched_plan(noff_pad, l2p, chunk)
+    if not resident:
+        c1b = jnp.broadcast_to(c1_row.reshape(1, l1k), (b, l1k))
+        return _fused_stats5_from_codes(c1b, c2b, code_tab, b, l1k, l2p,
+                                        interpret)
+    s1c = jnp.broadcast_to(
+        c1_row.reshape(1, l1k).astype(jnp.int8), (4, l1k))
+    pc = code_tab.astype(jnp.int8)[:, c2b.astype(jnp.int32)]
+    pc_all = (pc.transpose(1, 0, 2)
+              .reshape(b, 32, nchunks, chunk)
+              .transpose(0, 2, 1, 3)[:, :, :, ::-1])
+    out = _sweep_pallas_batched_shared(s1c, pc_all, b, noff_pad, l2p,
+                                       interpret, tile)    # (B, 8, NP)
+    maxrank = maxrank_from_maxcode(out[:, 4:5, :])
+    return jnp.concatenate([out[:, :4, :], maxrank], axis=1)
+
+
 def make_batched_pallas_runner(tables: ScoringTables, b: int, l1k: int,
                                l2p: int, interpret: bool):
     """Build (and cache) the jitted f32-winners runner for one (tables,
@@ -798,14 +837,23 @@ def pack_query_inputs_shared(c1_row, c2b, noffs):
     return inbuf, pack_code_rows(np.asarray(c1_row)[None])[0]
 
 
-def unpack_query_inputs_shared(inbuf, c1w, b: int, l1k: int, l2p: int):
-    """In-graph inverse of `pack_query_inputs_shared`: broadcast the one
-    uploaded Seq1 row to the batch (device-side bytes are ~free; wire
-    bytes are not)."""
+def unpack_query_inputs_shared_row(inbuf, c1w, l1k: int, l2p: int):
+    """In-graph inverse of `pack_query_inputs_shared` keeping Seq1 as the
+    ONE uploaded row -> (c1_row (l1k,), c2b (B, l2p), noffs (B,)) — the
+    shared-s1 runners feed the row straight to the dedup kernel, which
+    never materializes B copies."""
     w2 = _packed_words(l2p)
     c2b = unpack_code_rows(inbuf[:, :w2], l2p)
-    c1b = jnp.broadcast_to(unpack_code_rows(c1w[None], l1k), (b, l1k))
-    return c1b, c2b, inbuf[:, w2]
+    c1_row = unpack_code_rows(c1w[None], l1k)[0]
+    return c1_row, c2b, inbuf[:, w2]
+
+
+def unpack_query_inputs_shared(inbuf, c1w, b: int, l1k: int, l2p: int):
+    """Broadcast variant of `unpack_query_inputs_shared_row` for callers
+    that want the plain (B, l1k) batch layout (device-side bytes are
+    ~free; wire bytes are not)."""
+    c1_row, c2b, noffs = unpack_query_inputs_shared_row(inbuf, c1w, l1k, l2p)
+    return jnp.broadcast_to(c1_row[None], (b, l1k)), c2b, noffs
 
 
 def make_batched_exact_runner(tables: ScoringTables, l1k: int, l2p: int,
@@ -886,9 +934,7 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
         compact = epilogue_compact(l1k - l2p, l2p)
         is_max = tables.is_max
 
-        def _epilogue(c1b, c2b, noffs, code_tab, w32, diff32, eps):
-            stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, b, l1k,
-                                              l2p, interpret)
+        def _pack(stats5, noffs, w32, diff32, eps):
             return pack_epilogue_outputs(
                 *exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max,
                                               noffs, eps, k),
@@ -897,16 +943,21 @@ def make_batched_fused_runner(tables: ScoringTables, b: int, l1k: int,
         if shared_s1:
             @jax.jit
             def generic(inbuf, c1w, code_tab, w32, diff32, eps):
-                c1b, c2b, noffs = unpack_query_inputs_shared(
-                    inbuf, c1w, b, l1k, l2p)
-                return _epilogue(c1b, c2b, noffs, code_tab, w32, diff32,
-                                 eps)
+                # compute dedup: the one Seq1 row goes straight to the
+                # shared-kernel variant (one window expand per TILE, not
+                # per query) — never broadcast to (B, l1k)
+                c1_row, c2b, noffs = unpack_query_inputs_shared_row(
+                    inbuf, c1w, l1k, l2p)
+                stats5 = _fused_stats5_from_codes_shared(
+                    c1_row, c2b, code_tab, b, l1k, l2p, interpret)
+                return _pack(stats5, noffs, w32, diff32, eps)
         else:
             @jax.jit
             def generic(inbuf, code_tab, w32, diff32, eps):
                 c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
-                return _epilogue(c1b, c2b, noffs, code_tab, w32, diff32,
-                                 eps)
+                stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, b,
+                                                  l1k, l2p, interpret)
+                return _pack(stats5, noffs, w32, diff32, eps)
 
         run = _cache_put(_EXACT_RUNNERS, key,
                          _mark_warm_after_first(generic, key))
@@ -951,9 +1002,7 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
         compact = epilogue_compact(l1k - l2p, l2p)
         is_max = tables.is_max
 
-        def _local_epilogue(c1b, c2b, noffs, code_tab, w32, diff32, eps):
-            stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, bl, l1k,
-                                              l2p, interpret)
+        def _local_pack(stats5, noffs, w32, diff32, eps):
             return pack_epilogue_outputs(
                 *exact_topk_epilogue_rows_ops(stats5, w32, diff32, is_max,
                                               noffs, eps, k),
@@ -961,12 +1010,14 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
 
         if shared_s1:
             def local(inbuf, c1w, code_tab, w32, diff32, eps):
-                # inbuf = [c2 words | noff] sharded on the batch axis;
-                # the one Seq1 row is replicated and broadcast per shard
-                c1b, c2b, noffs = unpack_query_inputs_shared(
-                    inbuf, c1w, bl, l1k, l2p)
-                return _local_epilogue(c1b, c2b, noffs, code_tab, w32,
-                                       diff32, eps)
+                # inbuf = [c2 words | noff] sharded on the batch axis; the
+                # one Seq1 row is replicated and each shard's kernel
+                # expands its tile windows once per tile (compute dedup)
+                c1_row, c2b, noffs = unpack_query_inputs_shared_row(
+                    inbuf, c1w, l1k, l2p)
+                stats5 = _fused_stats5_from_codes_shared(
+                    c1_row, c2b, code_tab, bl, l1k, l2p, interpret)
+                return _local_pack(stats5, noffs, w32, diff32, eps)
 
             in_specs = (P(axis), P(), P(), P(), P(), P())
         else:
@@ -975,8 +1026,9 @@ def make_batched_fused_sharded_runner(tables: ScoringTables, b: int,
                 # pack_query_inputs), sharded on the batch axis; unpacked
                 # in-graph per shard; weight operands replicated
                 c1b, c2b, noffs = unpack_query_inputs(inbuf, l1k, l2p)
-                return _local_epilogue(c1b, c2b, noffs, code_tab, w32,
-                                       diff32, eps)
+                stats5 = _fused_stats5_from_codes(c1b, c2b, code_tab, bl,
+                                                  l1k, l2p, interpret)
+                return _local_pack(stats5, noffs, w32, diff32, eps)
 
             in_specs = (P(axis), P(), P(), P(), P())
 

@@ -489,6 +489,122 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
     out_ref[0] = acc_ref[...]
 
 
+def _sweep_kernel_batched_shared(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
+                                 cscr_ref, oh_ref, pcq_ref, sems, *,
+                                 nchunks: int, tile_o: int, chunk: int,
+                                 nb: int):
+    """Shared-Seq1 fused batch sweep: grid (ntiles, B), B innermost.
+
+    The flagship serving pattern is many Seq2 reads against ONE Seq1
+    reference (models/batch.pack_query_inputs_shared).  The plain batched
+    kernel's grid is (B, ntiles) and every program re-DMAs and re-one-hot-
+    expands its own Seq1 window — for a shared-Seq1 microbatch that is B-1
+    redundant (4, span) DMAs and (32, span) expands per tile, and the
+    expand/zero work is the measured ~4.8 us/query fixed cost (TODO.md QPP
+    post-mortem).  Here the grid runs B fastest within each tile and the
+    window DMA + expand happen ONCE per tile, in the q == 0 program; VMEM
+    scratch persists across grid steps on TPU (the grid is a sequential
+    loop on the core), so programs q > 0 reuse the resident one-hot.  The
+    reference analog: one device copy of ProgramData serves every CUDA
+    block and thread (cuda_funcs.cu:43-69).
+
+    Resident-Seq2 shapes only (the serving regime); streaming shapes take
+    the plain batched kernel.  s1c_ref: (4, l1k) shared raw codes in HBM —
+    l1k, not B*l1k: the operand itself deduplicates.
+    """
+    t = pl.program_id(0)
+    q = pl.program_id(1)
+    o0 = t * tile_o
+    width = tile_o + chunk
+    span = tile_o + nchunks * chunk
+
+    # per-query code columns: every program fetches its own query's columns
+    cp_pc = pltpu.make_async_copy(pc_ref.at[q], pcq_ref, sems.at[0, 1])
+    cp_pc.start()
+
+    @pl.when(q == 0)
+    def _():
+        # once per TILE: DMA the shared Seq1 window and expand its one-hot
+        cp_c = pltpu.make_async_copy(
+            s1c_ref.at[:, pl.ds(pl.multiple_of(o0, chunk), span)],
+            cscr_ref, sems.at[0, 0])
+        cp_c.start()
+        cp_c.wait()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (32, span), 0)
+        row = cscr_ref[0:1, :].astype(jnp.int32)
+        oh_ref[...] = (iota == row).astype(jnp.int8)
+
+    cp_pc.wait()
+
+    def body(c, _):
+        win = oh_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk), width)]
+        _contract_decode_accumulate(pcq_ref[c], win, acc_ref, width=width,
+                                    tile_o=tile_o, chunk=chunk,
+                                    macc_ref=macc_ref)
+        return 0
+
+    # same gated chunk-0 peel as the plain batched kernel (serving shapes
+    # are small-nchunks, where the peel's zeroing deletion measured +4%)
+    if nchunks <= PEEL_MAX_NCHUNKS:
+        _contract_decode_accumulate(pcq_ref[0], oh_ref[:, pl.ds(0, width)],
+                                    acc_ref, width=width, tile_o=tile_o,
+                                    chunk=chunk, macc_ref=macc_ref,
+                                    first=True)
+        lo = 1
+    else:
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        macc_ref[...] = jnp.zeros_like(macc_ref)
+        lo = 0
+    jax.lax.fori_loop(lo, nchunks, body, 0)
+    _plane_max(macc_ref[...], acc_ref)
+    out_ref[0] = acc_ref[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "noff_pad", "l2p", "interpret",
+                                    "tile_o"))
+def _sweep_pallas_batched_shared(s1c, pc_all, b: int, noff_pad: int,
+                                 l2p: int, interpret: bool,
+                                 tile_o: int | None = None):
+    """Shared-Seq1 batched sweep -> (B, 8, noff_pad) int32.
+
+    s1c: (4, l1k) int8 raw codes of the ONE shared Seq1 (4 identical
+    sublane rows); pc_all: (B, nchunks, 32, chunk) int8 reversed code
+    columns, as in `_sweep_pallas_batched`.  Caller must check
+    `_batched_resident(tile, l2p)` (shared dedup targets the resident
+    serving regime; streaming shapes use the plain kernel)."""
+    chunk = pc_all.shape[3]
+    nchunks = pc_all.shape[1]
+    if tile_o is None:
+        tile_o, _, _ = batched_plan(noff_pad, l2p, chunk)
+    extra = _batched_extra_bytes(tile_o, l2p, chunk, True)
+    span = tile_o + l2p
+    ntiles = noff_pad // tile_o
+    kernel = functools.partial(_sweep_kernel_batched_shared, nchunks=nchunks,
+                               tile_o=tile_o, chunk=chunk, nb=b)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles, b),                     # B innermost: expand per TILE
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # pc_all in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # s1c in HBM (one copy)
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile_o), lambda t, g: (g, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, noff_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, tile_o), jnp.int32),
+            pltpu.VMEM((chunk // 4, tile_o), jnp.int32),   # packed max acc
+            pltpu.VMEM((4, span), jnp.int8),               # tile code window
+            pltpu.VMEM((32, span), jnp.int8),              # tile one-hot
+            pltpu.VMEM((nchunks, 32, chunk), jnp.int8),    # query code cols
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+        **_compiler_params(tile_o, extra),
+    )(pc_all, s1c)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("b", "noff_pad", "l2p", "interpret",
                                     "tile_o", "resident"))

@@ -140,6 +140,43 @@ def test_shared_s1_sharded_mesh_exact():
             ref.offset, ref.char_offset, ref.sub_code, ref.score), q
 
 
+def test_shared_kernel_multi_tile_bit_identical():
+    """The shared-Seq1 COMPUTE-dedup kernel (grid (ntiles, B), window
+    expanded once per tile into scratch that persists across the B grid
+    steps) must bit-match the plain batched kernel across multiple tiles
+    and queries — the cross-program scratch reuse is the load-bearing
+    part."""
+    import jax.numpy as jnp
+
+    from psa_tpu.ops import pallas_sweep as ps
+
+    rng = np.random.default_rng(606)
+    b, n1, n2 = 4, 2600, 500
+    _, noff_pad, l2p, l1k = plan_shapes(n1, n2)
+    c1p = pad_codes(random_codes(rng, n1, 0.05), l1k)
+    c2b = np.stack([pad_codes(random_codes(rng, n2, 0.05), l2p)
+                    for _ in range(b)])
+    chunk = ps.pick_chunk(l2p)
+    nck = l2p // chunk
+    code_tab = np.asarray(build_tables(
+        np.array([1.0, 3.0, 4.0, 2.0]), False).code)
+    pc = code_tab.astype(np.int8)[:, c2b.astype(np.int32)]
+    pc_all = (pc.transpose(1, 0, 2).reshape(b, 32, nck, chunk)
+              .transpose(0, 2, 1, 3)[:, :, :, ::-1])
+    s1c = np.broadcast_to(c1p.astype(np.int8)[None], (4, l1k))
+    s1c_all = np.broadcast_to(
+        np.concatenate([c1p] * b).astype(np.int8)[None], (4, b * l1k))
+    for tile in (512, 1024):
+        assert noff_pad // tile >= 2   # multi-tile is the point
+        ref = np.asarray(ps._sweep_pallas_batched(
+            jnp.asarray(s1c_all), jnp.asarray(pc_all), b, noff_pad, l2p,
+            True, tile))
+        got = np.asarray(ps._sweep_pallas_batched_shared(
+            jnp.asarray(s1c), jnp.asarray(pc_all), b, noff_pad, l2p,
+            True, tile))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_shared_s1_multi_microbatch_spans():
     """Shared Seq1 across several microbatches: one c1 upload, every span
     through the dedup runner, exact results."""
