@@ -215,12 +215,16 @@ def main(argv: list[str] | None = None) -> int:
         with tracer:
             if args.sharded:
                 from psa_tpu.core.alphabet import ensure_valid
-                from psa_tpu.parallel.mesh import search_sharded
+                from psa_tpu.parallel.mesh import search_sharded_auto
 
                 ensure_valid(query.seq1, query.seq2, args.lenient)
-                res = search_sharded(encode(query.seq1), encode(query.seq2),
-                                     engine.tables,
-                                     kernel=_sharded_kernel(args.backend))
+                # mesh shape chosen per workload: offset blocks for long
+                # Seq1, a char-reduction axis when noff/N ~ l2p (the
+                # strong-scaling regime); PSA_MESH_SHAPE overrides
+                res = search_sharded_auto(encode(query.seq1),
+                                          encode(query.seq2),
+                                          engine.tables,
+                                          kernel=_sharded_kernel(args.backend))
             else:
                 res = engine.search(query.seq1, query.seq2)
     except ValueError as e:

@@ -112,6 +112,92 @@ def test_sharded_massive_tie_falls_back_exactly(n_dev, tables_min):
     assert got.offset == 0          # is_swapable: lowest offset on ties
 
 
+@pytest.mark.parametrize("n_op,n_ch",
+                         [(1, 1), (1, 2), (2, 2), (1, 4), (4, 2), (2, 4),
+                          (1, 8)])
+def test_sharded_2d_full_winner_parity(n_op, n_ch, tables_min):
+    """Full winner-tuple parity for the 2-D (offset x char) mesh at every
+    shape covering 1/2/4/8 devices: class counts psum_scatter over the
+    char axis, ranks pmax — exact by construction, so the winner must
+    bit-match the oracle at any mesh shape (VERDICT r4 #2)."""
+    from psa_tpu.parallel.mesh import make_mesh_2d, search_sharded_2d
+
+    _need_devices(n_op * n_ch)
+    rng = np.random.default_rng(29)
+    c1 = random_codes(rng, 3000)
+    c2 = random_codes(rng, 700)
+    mesh = make_mesh_2d(jax.devices(), n_op, n_ch)
+    got = search_sharded_2d(c1, c2, tables_min, mesh)
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
+                                backend="numpy").search_codes(c1, c2)
+    assert got == ref
+
+
+def test_sharded_2d_pallas_kernel_and_max_mode():
+    from psa_tpu.parallel.mesh import make_mesh_2d, search_sharded_2d
+
+    _need_devices(8)
+    rng = np.random.default_rng(31)
+    t = build_tables(np.array([2.0, 1.0, 3.0, 0.5]), True)
+    c1 = random_codes(rng, 4000)
+    c2 = random_codes(rng, 520)
+    got = search_sharded_2d(c1, c2, t, make_mesh_2d(jax.devices(), 2, 4),
+                            kernel="pallas")
+    ref = AlignmentSearchEngine([2.0, 1.0, 3.0, 0.5], True,
+                                backend="numpy").search_codes(c1, c2)
+    assert got == ref
+
+
+def test_sharded_2d_massive_tie_falls_back_exactly(tables_min):
+    """All-'A' input: every offset ties exactly, the per-shard top-k cannot
+    certify, and the 2-D path must fall back and still return the
+    canonical lowest-offset winner."""
+    from psa_tpu.parallel.mesh import make_mesh_2d, search_sharded_2d
+
+    _need_devices(8)
+    c1 = np.zeros(4000, np.int32)
+    c2 = np.zeros(600, np.int32)
+    got = search_sharded_2d(c1, c2, tables_min,
+                            make_mesh_2d(jax.devices(), 2, 4))
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
+                                backend="numpy").search_codes(c1, c2)
+    assert got == ref
+    assert got.offset == 0
+
+
+def test_choose_mesh_shape_regimes():
+    """Long-Seq1 stays offset-sharded (no collectives); the north-star
+    small-noff regime gets a char axis; short Seq2 cannot split below two
+    128-char kernel chunks."""
+    from psa_tpu.parallel.mesh import choose_mesh_shape
+
+    assert choose_mesh_shape(8, 90001, 500) == (8, 1)
+    n_op, n_ch = choose_mesh_shape(8, 90001, 10000)
+    assert n_ch > 1
+    assert choose_mesh_shape(1, 90001, 10000) == (1, 1)
+    for ndev in (1, 2, 4, 8):
+        n_op, n_ch = choose_mesh_shape(ndev, 7581, 2131)
+        assert n_op * n_ch == ndev
+        lc = max(2131, 128 * n_ch)
+        assert n_ch == 1 or -(-lc // (128 * n_ch)) * 128 >= 256
+
+
+def test_search_sharded_auto_env_override(monkeypatch, tables_min):
+    from psa_tpu.parallel.mesh import search_sharded_auto
+
+    _need_devices(8)
+    rng = np.random.default_rng(37)
+    c1 = random_codes(rng, 2000)
+    c2 = random_codes(rng, 400)
+    ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
+                                backend="numpy").search_codes(c1, c2)
+    monkeypatch.setenv("PSA_MESH_SHAPE", "2,4")
+    assert search_sharded_auto(c1, c2, tables_min) == ref
+    monkeypatch.setenv("PSA_MESH_SHAPE", "3,2")
+    with pytest.raises(ValueError):
+        search_sharded_auto(c1, c2, tables_min)
+
+
 def test_sharded_no_mutation_raises():
     """Out-of-range chars everywhere (lenient input): no shard finds a
     legal substitution -> NoMutationFound through the top-k merge."""
