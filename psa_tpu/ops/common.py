@@ -68,7 +68,18 @@ def keyed_f32_totals_ops(counts, maxrank, w32, diff32, is_max: bool, noff,
         w32 = jnp.asarray(w32)
         total = (w32[0] * c[..., 0, :] + w32[1] * c[..., 1, :]
                  + w32[2] * c[..., 2, :] + w32[3] * c[..., 3, :])
-    total = total + diff32[jnp.clip(maxrank, 0, None)]
+    # rank -> diff WITHOUT a gather: diff32[clip(mr)] fused into this big
+    # elementwise module lowers to per-element dynamic indexing on TPU —
+    # measured 11 us/query of the serving batch's 16.5 us/query device time
+    # at B=1024 of 2048x512 (the same gather on a materialized operand in a
+    # tiny module times 0.6 us/query, which is how it hid).  A select chain
+    # over the <= 33 ranks is pure fusible VPU work and bit-identical
+    # (exact integer compare picks the exact same f32 table value).
+    mrc = jnp.clip(maxrank, 0, None)
+    d = jnp.broadcast_to(diff32[0], mrc.shape)
+    for r in range(1, int(diff32.shape[0])):
+        d = jnp.where(mrc == r, diff32[r], d)
+    total = total + d
     offs = jnp.arange(maxrank.shape[-1], dtype=jnp.int32)
     noff_arr = jnp.asarray(noff, dtype=jnp.int32)
     valid = (maxrank >= 0) & (offs < noff_arr[..., None])
