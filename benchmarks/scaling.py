@@ -152,33 +152,46 @@ def main():
     return 0
 
 
+# Modeled ICI bandwidth for the char-reduction collectives (reduce_scatter
+# of the 4 count rows + pmax of the rank row, ~24 B per offset row at
+# (N-1)/N wire efficiency).  v5e ICI is ~4.5e10 B/s effective per chip for
+# ring collectives; this term only exists for the "ch" strategy and is a
+# STATED MODEL, not a measurement (flagged in the output).
+_ICI_BW = 4.5e10
+
+
 def shard_ladder(args, sizes) -> int:
-    """Single-chip proxy for real multi-chip scaling (VERDICT r3 #3).
+    """Single-chip proxy for real multi-chip scaling, BOTH shard strategies.
 
-    The offset-sharded program has NO cross-shard compute: each chip sweeps
-    a contiguous noff/N block independently (parallel/mesh.py shard_map +
-    per-shard dynamic_slice, the analog of cpu_funcs.c:128-133), and the
-    merge combines N checkable-exact top-k candidate blocks — O(N*k) ints.
-    So real N-chip time is bounded by
+    Strategy "op" (offset blocks, parallel/mesh.make_sharded_topk_fn): each
+    chip runs sweep(noff/N offsets, full l2p) + the in-graph top-k epilogue
+    on its block; no collectives.  Strategy "ch" (char chunks,
+    make_sharded_topk_fn_2d at n_op=1): each chip runs sweep(full noff,
+    l2p/N chars), a psum_scatter/pmax char reduction (MODELED, see
+    _ICI_BW), and the epilogue on its scattered noff/N block.
 
-        T_shard(noff/N)   (measured HERE on one real chip,
-                           chained-materialized, the production kernel)
-      + T_merge(N)        (measured host-side exact selection over N*k
-                           candidates)
-      + allgather of N*(k*6) int32 — a few KB over ICI, negligible.
-
-    Unlike the virtual-CPU-mesh ladder (which measures core contention and
-    carries no scaling signal), every term here is hardware-measured or
-    provably tiny.  Disclaimed as a single-chip proxy in the output.
+    Every per-shard term is the PRODUCTION device program (sweep + exact
+    top-k epilogue + pack) measured chained-materialized on one real chip.
+    The merge term is the PRODUCTION host merge (_select_from_shard_topk)
+    timed on REAL per-shard packed candidate rows built from the chip's
+    own stats — it re-scores only the f32 band around the global best, so
+    unlike the r4 ladder (which timed a rescore of ALL N*k candidates,
+    growing linearly in N) it measures what serving actually pays.
+    Disclaimed as a single-chip proxy in the output.
     """
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from psa_tpu.core.alphabet import encode
+    from psa_tpu.core.alphabet import encode, pad_codes
     from psa_tpu.core.tables import build_tables
+    from psa_tpu.models.batch import (TOPK, epilogue_compact,
+                                      exact_topk_epilogue_rows,
+                                      pack_epilogue_outputs)
     from psa_tpu.ops import pallas_sweep as ps
+    from psa_tpu.ops.common import round_up
+    from psa_tpu.parallel.mesh import _select_from_shard_topk
     from psa_tpu.utils.generator import random_sequences
 
     n1, n2 = args.n1, args.n2
@@ -187,101 +200,212 @@ def shard_ladder(args, sizes) -> int:
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
     seq1, seq2 = random_sequences(n1, n2, seed=0)
     c1, c2 = encode(seq1), encode(seq2)
-    _, noff_pad, l2p, _ = ps.plan_shapes(n1, n2)
-    pair_evals = float(n1 - n2 + 1) * n2
+    noff = n1 - n2 + 1
+    nmax = max(sizes)
+    # one padding serves every rung: shards of 512-multiples at every N,
+    # char chunks of 128-multiples at every N
+    l2p = round_up(max(n2, 128 * nmax), 128 * nmax)
+    noff_pad = round_up(noff, 512 * nmax)
+    l1p = noff_pad + l2p
+    c1p = pad_codes(c1, l1p)
+    c2p = pad_codes(c2, l2p)
+    pair_evals = float(noff) * n2
+    compact = epilogue_compact(noff_pad, l2p)
     log(f"[scaling] shard ladder: platform={platform} {n1}x{n2} "
         f"noff_pad={noff_pad} l2p={l2p}")
 
-    # --- per-shard device sweep at noff_pad/N ------------------------------
-    shard_rows = []
-    for d in sizes:
-        if noff_pad % (d * 512):
-            log(f"[scaling] skip N={d}: noff_pad {noff_pad} not divisible "
-                f"into 512-multiples")
-            continue
-        noff_n = noff_pad // d
+    code_tab = jnp.asarray(tables.code)
+
+    def chained_op(noff_n):
+        """Production per-shard program, strategy op: sweep the shard's
+        offset block + exact top-k epilogue + pack, chained."""
         l1k_n = noff_n + l2p
-        c1_shard = c1[: min(c1.shape[0], noff_n + n2 - 1)]
-        a, b = ps._prepare(jnp.asarray(c1_shard), jnp.asarray(c2),
-                           jnp.asarray(tables.code), l1k_n, l2p)
+        c1_loc = jnp.asarray(c1p[:l1k_n].astype(np.int32))
+        c2j = jnp.asarray(c2p.astype(np.int32))
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def chained(aa, bb, k, noff_n=noff_n):
+        def run(aa, bb, k):
             def body(i, acc):
-                bb_i = jnp.roll(bb, i, axis=-1)   # defeat dispatch dedup
-                out = ps._sweep_pallas(aa, bb_i, noff_n, l2p // ps.CHUNK,
-                                       interpret, with_valid=False)
-                return acc + out[0, 0] + out[4, -1]
+                bb_i = jnp.roll(bb, i)            # defeat dispatch dedup
+                stats5 = ps.local_stats_rows_pallas(aa, bb_i, code_tab,
+                                                    noff_n, l2p)
+                topi, stats_k, near, best = exact_topk_epilogue_rows(
+                    stats5, tables, jnp.minimum(noff, noff_n), l2p, TOPK)
+                buf = pack_epilogue_outputs(topi[None], stats_k[None],
+                                            near[None], best[None], compact)
+                return acc + buf[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
+        return run, (c1_loc, c2j)
+
+    def chained_ch_sweep(lc):
+        """Strategy ch, sweep half: full offset range, lc-char chunk."""
+        c1_loc = jnp.asarray(c1p[: noff_pad + lc].astype(np.int32))
+        c2j = jnp.asarray(c2p[:lc].astype(np.int32))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run(aa, bb, k):
+            def body(i, acc):
+                bb_i = jnp.roll(bb, i)
+                stats5 = ps.local_stats_rows_pallas(aa, bb_i, code_tab,
+                                                    noff_pad, lc)
+                return acc + stats5[0, 0] + stats5[4, -1]
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run, (c1_loc, c2j)
+
+    def chained_ch_epi(blk, stats_blk):
+        """Strategy ch, epilogue half on the post-reduction (5, blk)."""
+        sj = jnp.asarray(stats_blk)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run(s, k):
+            def body(i, acc):
+                si = s.at[0, 0].set(s[0, 0] + i)
+                topi, stats_k, near, best = exact_topk_epilogue_rows(
+                    si, tables, jnp.minimum(noff, blk), l2p, TOPK)
+                buf = pack_epilogue_outputs(topi[None], stats_k[None],
+                                            near[None], best[None], compact)
+                return acc + buf[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run, (sj,)
+
+    def time_chained(run, ops, label):
         t0 = time.perf_counter()
-        np.asarray(chained(a, b, args.iters))
+        np.asarray(run(*ops, args.iters))
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(chained(a, b, args.iters))
-        dt = (time.perf_counter() - t0) / args.iters
-        shard_rows.append({"devices": d, "shard_noff_pad": noff_n,
-                           "t_shard_ms": dt * 1e3})
-        log(f"[scaling] N={d}: shard sweep {dt*1e3:8.2f} ms "
-            f"(noff/N={noff_n}, first call {t_first:.1f}s)")
-
-    # --- host merge cost over N*k candidates -------------------------------
-    from psa_tpu.models.batch import TOPK
-    from psa_tpu.ops.select import pick_from_candidates
-
-    rng = np.random.default_rng(0)
-    merge_ms = {}
-    reps = 20
-    for d in sizes:
-        cands = [np.sort(rng.choice(n1 - n2 + 1, size=d * TOPK,
-                                    replace=False)) for _ in range(reps)]
-        pick_from_candidates(c1, c2, tables, cands[0])  # warm (builds lib)
         best = float("inf")
-        for cand in cands:
+        for _ in range(2):
             t0 = time.perf_counter()
-            pick_from_candidates(c1, c2, tables, cand)
-            best = min(best, time.perf_counter() - t0)
-        merge_ms[d] = best * 1e3
-        log(f"[scaling] N={d}: host merge of {d}x{TOPK} candidates "
-            f"{merge_ms[d]:.3f} ms")
+            np.asarray(run(*ops, args.iters))
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        log(f"[scaling] {label}: {best*1e3:8.2f} ms (first {t_first:.1f}s)")
+        return best * 1e3
 
-    # --- predicted scaling --------------------------------------------------
-    # efficiency is relative to the FIRST measured ladder rung (devices d0,
-    # normally 1); with --devices excluding 1 the field name and baseline
-    # record say so instead of silently mislabeling
-    results = []
-    d0 = shard_rows[0]["devices"] if shard_rows else 1
+    # --- full stats once on the chip: merge inputs + char epilogue input ---
+    @jax.jit
+    def full_stats(aa, bb):
+        return ps.local_stats_rows_pallas(aa, bb, code_tab, noff_pad, l2p)
+
+    stats_full = np.asarray(full_stats(
+        jnp.asarray(c1p.astype(np.int32)),
+        jnp.asarray(c2p.astype(np.int32))))                 # (5, noff_pad)
+
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def epi_block(s, noff_loc, blk):
+        topi, stats_k, near, best = exact_topk_epilogue_rows(
+            s, tables, noff_loc, l2p, TOPK)
+        return pack_epilogue_outputs(topi[None], stats_k[None], near[None],
+                                     best[None], compact)
+
+    def shard_bufs(d):
+        """REAL per-shard packed candidate rows for an N=d merge (the
+        production per-shard epilogue run on the chip's own stats)."""
+        blk = noff_pad // d
+        rows = []
+        for s in range(d):
+            sb = stats_full[:, s * blk:(s + 1) * blk]
+            nl = int(np.clip(noff - s * blk, 0, blk))
+            row = np.asarray(epi_block(jnp.asarray(sb), nl, blk))[0]
+            # globalize offsets: packed row layout depends on compact
+            if compact:
+                h = row[: 3 * TOPK].copy().view(np.int16)
+                h[: TOPK] += np.int16(s * blk)
+                row = np.concatenate([
+                    np.ascontiguousarray(h).view(np.int32),
+                    row[3 * TOPK:]])
+            else:
+                row = row.copy()
+                row[:TOPK] += s * blk
+            rows.append(row)
+        return np.stack(rows)
+
+    # --- ladder -------------------------------------------------------------
+    rows_out = []
+    merge_reps = 20
+    for d in sizes:
+        if noff_pad % (d * 512) or l2p % (d * 128):
+            log(f"[scaling] skip N={d}: padding mismatch")
+            continue
+        noff_n = noff_pad // d
+        lc = l2p // d
+        blk = noff_pad // d
+
+        # production host merge on real rows (band rescore only)
+        buf = shard_bufs(d)
+        t_m = float("inf")
+        _select_from_shard_topk(buf, noff, l2p, tables, c1, c2, TOPK,
+                                compact)   # warm native lib
+        for _ in range(merge_reps):
+            t0 = time.perf_counter()
+            r = _select_from_shard_topk(buf, noff, l2p, tables, c1, c2,
+                                        TOPK, compact)
+            t_m = min(t_m, time.perf_counter() - t0)
+        assert r is not None
+        t_merge = t_m * 1e3
+
+        # strategy op: one fused per-shard program
+        run, ops = chained_op(noff_n)
+        t_op = time_chained(run, ops, f"N={d} op-shard (noff/N={noff_n})")
+        op_total = t_op + t_merge
+
+        row = {"devices": d, "t_merge_ms": round(t_merge, 4),
+               "op": {"shard_noff_pad": noff_n,
+                      "t_shard_ms": round(t_op, 3),
+                      "predicted_total_ms": round(op_total, 3)}}
+
+        # strategy ch (n_op=1): sweep + modeled collective + epilogue
+        if d > 1:
+            run, ops = chained_ch_sweep(lc)
+            t_sw = time_chained(run, ops, f"N={d} ch-sweep (lc={lc})")
+            run, ops = chained_ch_epi(blk, stats_full[:, :blk])
+            t_ep = time_chained(run, ops, f"N={d} ch-epilogue (blk={blk})")
+            t_coll = 24.0 * noff_pad * (d - 1) / d / _ICI_BW * 1e3
+            ch_total = t_sw + t_coll + t_ep + t_merge
+            row["ch"] = {"lc": lc, "t_sweep_ms": round(t_sw, 3),
+                         "t_collective_ms_modeled": round(t_coll, 4),
+                         "t_epilogue_ms": round(t_ep, 3),
+                         "predicted_total_ms": round(ch_total, 3)}
+        rows_out.append(row)
+
+    # --- efficiency ---------------------------------------------------------
+    d0 = rows_out[0]["devices"] if rows_out else 1
+    base_ms = rows_out[0]["op"]["predicted_total_ms"] if rows_out else 0.0
     eff_field = ("predicted_efficiency_vs_1chip" if d0 == 1
                  else f"predicted_efficiency_vs_{d0}chip_baseline")
-    # canonical T(d0) / ((d/d0) * T(d)) with T = shard sweep + merge on
-    # BOTH sides, so the baseline rung reports exactly 1.0
-    base_ms = shard_rows[0]["t_shard_ms"] + merge_ms[d0] if shard_rows else 0
-    for row in shard_rows:
+    for row in rows_out:
         d = row["devices"]
-        pred_ms = row["t_shard_ms"] + merge_ms[d]
-        rate = pair_evals / (pred_ms * 1e-3)
-        eff = base_ms * d0 / (d * pred_ms)
-        results.append({**row, "t_merge_ms": round(merge_ms[d], 3),
-                        "predicted_total_ms": round(pred_ms, 3),
-                        "predicted_pair_evals_per_sec": rate,
-                        eff_field: round(eff, 4)})
-        log(f"[scaling] N={d}: predicted total {pred_ms:.2f} ms  "
-            f"({rate:.3g} evals/s aggregate, eff={eff:.3f})")
+        best_ms = row["op"]["predicted_total_ms"]
+        best_strat = "op"
+        if "ch" in row and row["ch"]["predicted_total_ms"] < best_ms:
+            best_ms = row["ch"]["predicted_total_ms"]
+            best_strat = "ch"
+        row["best_strategy"] = best_strat
+        row["predicted_total_ms"] = best_ms
+        row["predicted_pair_evals_per_sec"] = pair_evals / (best_ms * 1e-3)
+        row[eff_field] = round(base_ms * d0 / (d * best_ms), 4)
+        log(f"[scaling] N={d}: best={best_strat} {best_ms:.2f} ms "
+            f"(eff={row[eff_field]:.3f})")
 
     print(json.dumps({
         "metric": "shard_ladder_scaling_proxy",
         "platform": platform,
         "single_chip_proxy": True,
-        "note": ("SINGLE-CHIP PROXY: T_shard(noff/N) measured on one real "
-                 "chip (chained-materialized, production kernel); merge = "
-                 "measured host-side exact selection over N*top-k "
-                 "candidates; the N-chip allgather of N*(k*6) int32 over "
-                 "ICI is not included (a few KB, negligible).  Shards are "
-                 "independent — no cross-shard compute exists — so this "
-                 "bounds real N-chip time; it cannot capture pod-level "
-                 "effects (per-chip clock/power variation, host fan-out)."),
-        "workload": {"n1": n1, "n2": n2, "noff_pad": noff_pad, "topk": TOPK},
-        "results": results,
+        "note": ("SINGLE-CHIP PROXY, two strategies.  op: T(N) = "
+                 "production per-shard program (sweep noff/N + exact top-k "
+                 "epilogue + pack) measured chained on one real chip + "
+                 "production host merge timed on REAL per-shard candidate "
+                 "rows (band rescore only — the r4 ladder's all-N*k "
+                 "rescore overstated merge ~linearly in N).  ch (n_op=1 "
+                 "char reduction, parallel/mesh.make_sharded_topk_fn_2d): "
+                 "T(N) = sweep(noff, l2p/N) + MODELED psum_scatter/pmax "
+                 f"at {_ICI_BW:.1e} B/s effective ICI (stated model, the "
+                 "one unmeasured term) + epilogue(noff/N) + the same "
+                 "merge.  Cannot capture pod-level effects."),
+        "workload": {"n1": n1, "n2": n2, "noff_pad": noff_pad, "l2p": l2p,
+                     "topk": TOPK},
+        "results": rows_out,
     }))
     return 0
 

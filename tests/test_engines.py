@@ -45,7 +45,11 @@ def test_stats_match_oracle_random(engine, is_max):
     rng = np.random.default_rng(42 + is_max)
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), is_max)
     fn = stats_fn(engine, tables)
-    for n1, n2 in [(300, 40), (1000, 333), (513, 512)]:
+    # (845, 400) deliberately shares (513, 512)'s compiled shape bucket
+    # (noff_pad 512, l2p 512): a fresh Mosaic program costs minutes through
+    # the remote-TPU tunnel, so test workloads canonicalize onto few shape
+    # families (scripts/tpu_suite.py engines phase)
+    for n1, n2 in [(300, 40), (845, 400), (513, 512)]:
         c1 = random_codes(rng, n1)
         c2 = random_codes(rng, n2)
         counts, maxrank = fn(c1, c2)
@@ -128,9 +132,9 @@ def test_pallas_decode_matches_oracle_multi_tile():
     tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
     rng = np.random.default_rng(37)
     c1 = random_codes(rng, 3000)
-    c2 = random_codes(rng, 700)
-    noff_pad, l2p = 2560, 768
-    noff = 3000 - 700 + 1
+    c2 = random_codes(rng, 500)     # 2 big chunks x 5 tiles; the forced
+    noff_pad, l2p = 2560, 512       # tile keeps this compile unique anyway
+    noff = 3000 - 500 + 1
     a, b = _prepare(jnp.asarray(c1), jnp.asarray(c2),
                     jnp.asarray(tables.code), noff_pad + l2p, l2p)
     out = np.asarray(_sweep_pallas(a, b, noff_pad, l2p // CHUNK, True, 512))

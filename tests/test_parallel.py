@@ -45,8 +45,11 @@ def test_eight_devices_available():
 def test_sharded_matches_single_chip(n_dev, tables_min):
     _need_devices(n_dev)
     rng = np.random.default_rng(7)
-    c1 = random_codes(rng, 3000)
-    c2 = random_codes(rng, 700)
+    # (4200, 150): every mesh size's per-shard program lands in the
+    # {4096, 2048, 1024, 512} x (l2p 256) compile families shared across
+    # the suite (shape canonicalization for the TPU engines phase)
+    c1 = random_codes(rng, 4200)
+    c2 = random_codes(rng, 150)
     mesh = make_mesh(jax.devices()[:n_dev])
     got = search_sharded(c1, c2, tables_min, mesh)
     ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
@@ -86,10 +89,14 @@ def test_device_reduce_matches_host_select(tables_min):
 
 
 def test_sharded_pallas_kernel(tables_min):
-    """Force the pallas shard-local kernel (interpret mode on CPU)."""
+    """Force the pallas shard-local kernel (interpret mode on CPU).
+
+    n2=150 keeps the per-shard program in the (1024, l2p 256) compile
+    family the engines phase already pays for (shape canonicalization —
+    fresh Mosaic programs cost minutes on the TPU suite)."""
     rng = np.random.default_rng(11)
     c1 = random_codes(rng, 6000)
-    c2 = random_codes(rng, 500)
+    c2 = random_codes(rng, 150)
     mesh = make_mesh()
     got = search_sharded(c1, c2, tables_min, mesh, kernel="pallas")
     ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False, backend="numpy").search_codes(c1, c2)
@@ -102,8 +109,8 @@ def test_sharded_massive_tie_falls_back_exactly(n_dev, tables_min):
     cannot certify the winner, so search_sharded must take the full-stats
     fallback and still return the canonical lowest-offset winner."""
     _need_devices(n_dev)
-    c1 = np.zeros(4000, np.int32)   # all 'A': every offset ties exactly
-    c2 = np.zeros(600, np.int32)
+    c1 = np.zeros(4200, np.int32)   # all 'A': every offset ties exactly
+    c2 = np.zeros(150, np.int32)    # shapes shared with the ladder test
     mesh = make_mesh(jax.devices()[:n_dev])
     got = search_sharded(c1, c2, tables_min, mesh)
     ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
@@ -127,7 +134,11 @@ def test_sharded_2d_full_winner_parity(n_op, n_ch, tables_min):
     c1 = random_codes(rng, 3000)
     c2 = random_codes(rng, 700)
     mesh = make_mesh_2d(jax.devices(), n_op, n_ch)
-    got = search_sharded_2d(c1, c2, tables_min, mesh)
+    # kernel="xla": the reduction/merge logic under test is orthogonal to
+    # the sweep kernel, and seven mesh shapes x fresh pallas programs
+    # would add ~7 Mosaic compiles (minutes each) to the TPU engines
+    # phase; the pallas 2-D path is covered once below on canonical shapes
+    got = search_sharded_2d(c1, c2, tables_min, mesh, kernel="xla")
     ref = AlignmentSearchEngine([1.0, 3.0, 4.0, 2.0], False,
                                 backend="numpy").search_codes(c1, c2)
     assert got == ref
@@ -139,9 +150,11 @@ def test_sharded_2d_pallas_kernel_and_max_mode():
     _need_devices(8)
     rng = np.random.default_rng(31)
     t = build_tables(np.array([2.0, 1.0, 3.0, 0.5]), True)
+    # (4000, 400) on a (4, 2) mesh: per-shard sweep (per_op 1024, lc 256)
+    # lands in the suite's canonical (1024, l2p 256) compile family
     c1 = random_codes(rng, 4000)
-    c2 = random_codes(rng, 520)
-    got = search_sharded_2d(c1, c2, t, make_mesh_2d(jax.devices(), 2, 4),
+    c2 = random_codes(rng, 400)
+    got = search_sharded_2d(c1, c2, t, make_mesh_2d(jax.devices(), 4, 2),
                             kernel="pallas")
     ref = AlignmentSearchEngine([2.0, 1.0, 3.0, 0.5], True,
                                 backend="numpy").search_codes(c1, c2)
