@@ -88,11 +88,15 @@ def main():
     from psa_tpu.utils.generator import random_sequences
 
     ndev = jax.device_count()
+    if args.mode == "ladder":
+        # single-chip proxy: shard sizes are workload divisions, not
+        # meshes, so the default ladder does NOT depend on how many local
+        # devices exist (a 1-chip machine proxies the 8-chip rung)
+        sizes = ([int(x) for x in args.devices.split(",")] if args.devices
+                 else [1, 2, 4, 8])
+        return shard_ladder(args, sizes)
     sizes = ([int(x) for x in args.devices.split(",")] if args.devices
              else [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev])
-    if args.mode == "ladder":
-        # single-chip proxy: shard sizes are workload divisions, not meshes
-        return shard_ladder(args, sizes)
     for d in sizes:
         if d > ndev:
             log(f"[scaling] error: mesh size {d} > available devices {ndev}")

@@ -333,7 +333,11 @@ def make_sharded_topk_fn_2d(tables: ScoringTables, mesh: Mesh,
     n_ch = mesh.shape["ch"]
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
-    key = ("topk2d", tables.is_max, kernel, l1p, l2p, k, n_op, n_ch,
+    # weights in the key: the epilogue bakes tables as compiled constants
+    # (same as the 1-D fn) — omitting them would reuse the wrong program
+    # for a second weight vector on the same (mode, shapes)
+    key = ("topk2d", tuple(tables.weights.tolist()), tables.is_max, kernel,
+           l1p, l2p, k, n_op, n_ch,
            tuple(d.id for d in mesh.devices.flat))
     from psa_tpu.models.batch import _cache_get, _cache_put
 

@@ -161,6 +161,25 @@ def test_sharded_2d_pallas_kernel_and_max_mode():
     assert got == ref
 
 
+def test_sharded_2d_two_weight_vectors_no_cache_collision():
+    """Two different weight vectors on the same (mode, shapes, mesh) must
+    NOT share a compiled 2-D program (the epilogue bakes the tables as
+    constants; regression: the cache key once omitted the weights)."""
+    from psa_tpu.parallel.mesh import make_mesh_2d, search_sharded_2d
+
+    _need_devices(4)
+    rng = np.random.default_rng(41)
+    c1 = random_codes(rng, 2000)
+    c2 = random_codes(rng, 400)
+    mesh = make_mesh_2d(jax.devices()[:4], 2, 2)
+    for w in ([1.0, 3.0, 4.0, 2.0], [5.0, 0.5, 2.0, 9.0]):
+        got = search_sharded_2d(c1, c2, build_tables(np.array(w), False),
+                                mesh)
+        ref = AlignmentSearchEngine(w, False,
+                                    backend="numpy").search_codes(c1, c2)
+        assert got == ref, w
+
+
 def test_sharded_2d_massive_tie_falls_back_exactly(tables_min):
     """All-'A' input: every offset ties exactly, the per-shard top-k cannot
     certify, and the 2-D path must fall back and still return the
