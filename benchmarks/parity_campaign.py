@@ -397,13 +397,50 @@ def main():
     finally:
         ps.MAX_L1_VMEM, ps.RESIDENT_L2_BUDGET = saved
 
+    # --- regime 8: 2-D (op x ch) mesh search vs the oracle ------------------
+    from psa_tpu.parallel.mesh import make_mesh_2d, search_sharded_2d
+
+    n_r8 = max(args.cases // 20, 3)
+    n_2d = 0
+    for case in range(n_r8):
+        n2 = int(rng.integers(150, 700))
+        n1 = n2 + int(rng.integers(300, 3000))
+        w = random_weights()
+        is_max = bool(rng.integers(0, 2))
+        t = build_tables(w, is_max)
+        n_op, n_ch = [(1, 2), (2, 2), (1, 4), (2, 4), (4, 2), (1, 8)][
+            int(rng.integers(0, 6))]
+        c1, c2 = random_codes(n1, 0.05), random_codes(n2, 0.05)
+        mesh2 = make_mesh_2d(jax.devices(), n_op, n_ch)
+        ref_eng = AlignmentSearchEngine(w, is_max, backend="numpy")
+        try:
+            r = ref_eng.search_codes(c1, c2)
+            want = (r.offset, r.char_offset, r.sub_code, r.score)
+        except Exception as ex:  # noqa: BLE001
+            want = type(ex).__name__
+        try:
+            r = search_sharded_2d(c1, c2, t, mesh2)
+            got = (r.offset, r.char_offset, r.sub_code, r.score)
+        except Exception as ex:  # noqa: BLE001
+            got = type(ex).__name__
+        n_2d += 1
+        if got != want:
+            mismatches.append({"regime": "mesh2d", "case": case,
+                               "mesh": [n_op, n_ch], "got": str(got),
+                               "want": str(want), "w": w.tolist(),
+                               "is_max": is_max})
+        if case % 5 == 4:
+            jax.clear_caches()
+    log(f"[campaign] mesh2d {n_2d} cases "
+        f"({time.perf_counter()-t0:.0f}s)")
+
     out = {
         "metric": "parity_campaign",
         "seed": args.seed,
         "checks": {"e2e": n_e2e, "multitile_stats": n_stats,
                    "batch_queries": n_batch, "sharded_queries": n_sharded,
                    "serve_queries": n_serve, "hybrid": n_hybrid,
-                   "streaming": n_stream},
+                   "streaming": n_stream, "mesh2d": n_2d},
         "mismatches": mismatches,
         "ok": not mismatches,
         "seconds": round(time.perf_counter() - t0, 1),

@@ -51,7 +51,13 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                     help="cpu = force an 8-device virtual host mesh; "
                          "tpu/default = whatever JAX resolves")
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="chained sweeps per timing call (default: 8; 48 "
+                         "for --mode ladder on TPU — shorter chains leave "
+                         "the ~30ms per-call tunnel RPC visible in every "
+                         "row: at 8 iters it inflates each measurement by "
+                         "~4ms, which buried the char-strategy win in the "
+                         "first r5 ladder cut)")
     ap.add_argument("--mode", default="sweep",
                     choices=["sweep", "serve", "ladder"])
     ap.add_argument("--batch", type=int, default=64,
@@ -89,12 +95,16 @@ def main():
 
     ndev = jax.device_count()
     if args.mode == "ladder":
+        if args.iters is None:
+            args.iters = 48 if jax.devices()[0].platform == "tpu" else 8
         # single-chip proxy: shard sizes are workload divisions, not
         # meshes, so the default ladder does NOT depend on how many local
         # devices exist (a 1-chip machine proxies the 8-chip rung)
         sizes = ([int(x) for x in args.devices.split(",")] if args.devices
                  else [1, 2, 4, 8])
         return shard_ladder(args, sizes)
+    if args.iters is None:
+        args.iters = 8
     sizes = ([int(x) for x in args.devices.split(",")] if args.devices
              else [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev])
     for d in sizes:
