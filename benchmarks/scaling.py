@@ -252,8 +252,13 @@ def shard_ladder(args, sizes) -> int:
 
         return run, (c1_loc, c2j)
 
-    def chained_ch_sweep(lc):
-        """Strategy ch, sweep half: full offset range, lc-char chunk."""
+    def chained_ch(lc, blk):
+        """Strategy ch per-shard program, ONE chain: sweep(noff, lc) +
+        epilogue on a blk-wide slice + pack.  The epilogue consumes the
+        shard's own partial stats (cost-identical to the post-reduction
+        stats — same shapes, same ops), matching the real deployment where
+        sweep + psum_scatter + epilogue compile as one program; only the
+        collective itself is modeled separately."""
         c1_loc = jnp.asarray(c1p[: noff_pad + lc].astype(np.int32))
         c2j = jnp.asarray(c2p[:lc].astype(np.int32))
 
@@ -263,38 +268,27 @@ def shard_ladder(args, sizes) -> int:
                 bb_i = jnp.roll(bb, i)
                 stats5 = ps.local_stats_rows_pallas(aa, bb_i, code_tab,
                                                     noff_pad, lc)
-                return acc + stats5[0, 0] + stats5[4, -1]
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-        return run, (c1_loc, c2j)
-
-    def chained_ch_epi(blk, stats_blk):
-        """Strategy ch, epilogue half on the post-reduction (5, blk)."""
-        sj = jnp.asarray(stats_blk)
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def run(s, k):
-            def body(i, acc):
-                si = s.at[0, 0].set(s[0, 0] + i)
                 topi, stats_k, near, best = exact_topk_epilogue_rows(
-                    si, tables, jnp.minimum(noff, blk), l2p, TOPK)
+                    stats5[:, :blk], tables, jnp.minimum(noff, blk), l2p,
+                    TOPK)
                 buf = pack_epilogue_outputs(topi[None], stats_k[None],
                                             near[None], best[None], compact)
                 return acc + buf[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-        return run, (sj,)
+        return run, (c1_loc, c2j)
 
-    def time_chained(run, ops, label):
+    def time_chained(run, ops, label, iters):
         t0 = time.perf_counter()
-        np.asarray(run(*ops, args.iters))
+        np.asarray(run(*ops, iters))
         t_first = time.perf_counter() - t0
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(run(*ops, args.iters))
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        log(f"[scaling] {label}: {best*1e3:8.2f} ms (first {t_first:.1f}s)")
+            np.asarray(run(*ops, iters))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        log(f"[scaling] {label}: {best*1e3:8.2f} ms "
+            f"({iters} iters, first {t_first:.1f}s)")
         return best * 1e3
 
     # --- full stats once on the chip: merge inputs + char epilogue input ---
@@ -359,9 +353,15 @@ def shard_ladder(args, sizes) -> int:
         assert r is not None
         t_merge = t_m * 1e3
 
+        # shorter per-shard programs chain more iterations so the one
+        # dispatch+fetch RPC per chain (~20-30 ms through the tunnel)
+        # divides down below measurement scale at every rung
+        iters_n = min(args.iters * d, 512)
+
         # strategy op: one fused per-shard program
         run, ops = chained_op(noff_n)
-        t_op = time_chained(run, ops, f"N={d} op-shard (noff/N={noff_n})")
+        t_op = time_chained(run, ops, f"N={d} op-shard (noff/N={noff_n})",
+                            iters_n)
         op_total = t_op + t_merge
 
         row = {"devices": d, "t_merge_ms": round(t_merge, 4),
@@ -369,17 +369,16 @@ def shard_ladder(args, sizes) -> int:
                       "t_shard_ms": round(t_op, 3),
                       "predicted_total_ms": round(op_total, 3)}}
 
-        # strategy ch (n_op=1): sweep + modeled collective + epilogue
+        # strategy ch (n_op=1): fused sweep+epilogue + modeled collective
         if d > 1:
-            run, ops = chained_ch_sweep(lc)
-            t_sw = time_chained(run, ops, f"N={d} ch-sweep (lc={lc})")
-            run, ops = chained_ch_epi(blk, stats_full[:, :blk])
-            t_ep = time_chained(run, ops, f"N={d} ch-epilogue (blk={blk})")
+            run, ops = chained_ch(lc, blk)
+            t_sw = time_chained(run, ops,
+                                f"N={d} ch-shard (lc={lc}, blk={blk})",
+                                iters_n)
             t_coll = 24.0 * noff_pad * (d - 1) / d / _ICI_BW * 1e3
-            ch_total = t_sw + t_coll + t_ep + t_merge
-            row["ch"] = {"lc": lc, "t_sweep_ms": round(t_sw, 3),
+            ch_total = t_sw + t_coll + t_merge
+            row["ch"] = {"lc": lc, "t_shard_ms": round(t_sw, 3),
                          "t_collective_ms_modeled": round(t_coll, 4),
-                         "t_epilogue_ms": round(t_ep, 3),
                          "predicted_total_ms": round(ch_total, 3)}
         rows_out.append(row)
 
@@ -413,10 +412,14 @@ def shard_ladder(args, sizes) -> int:
                  "rows (band rescore only — the r4 ladder's all-N*k "
                  "rescore overstated merge ~linearly in N).  ch (n_op=1 "
                  "char reduction, parallel/mesh.make_sharded_topk_fn_2d): "
-                 "T(N) = sweep(noff, l2p/N) + MODELED psum_scatter/pmax "
-                 f"at {_ICI_BW:.1e} B/s effective ICI (stated model, the "
-                 "one unmeasured term) + epilogue(noff/N) + the same "
-                 "merge.  Cannot capture pod-level effects."),
+                 "T(N) = ONE fused chained program (sweep(noff, l2p/N) + "
+                 "epilogue on a noff/N slice + pack, cost-identical to the "
+                 "deployed sweep+reduce+epilogue program) + MODELED "
+                 f"psum_scatter/pmax at {_ICI_BW:.1e} B/s effective ICI "
+                 "(stated model, the one unmeasured term) + the same "
+                 "merge.  Chains scale iterations with N so the one "
+                 "dispatch+fetch RPC per chain divides below measurement "
+                 "scale.  Cannot capture pod-level effects."),
         "workload": {"n1": n1, "n2": n2, "noff_pad": noff_pad, "l2p": l2p,
                      "topk": TOPK},
         "results": rows_out,
