@@ -197,8 +197,10 @@ def main():
         # the repo's standing real-TPU artifacts (same kernel, measured on
         # chip earlier this round) so a tunnel outage at bench time doesn't
         # erase the recorded hardware numbers
-        log("[bench] last known TPU measurements: 3.23 ms/131072x8192 sweep"
-            " = 3.11e11 pair-evals/s (NORTHSTAR_r03.json, docs/DESIGN.md §6)")
+        log("[bench] last known TPU measurements: 3.19-3.23 ms/131072x8192 "
+            "sweep = 3.1e11 pair-evals/s (BENCH_r04.json); serving device "
+            "path 7.5 us/query at B=1024 of 2048x512 (round 5, "
+            "SHARED_DEDUP_r05.json / docs/DESIGN.md §6)")
     import jax
 
     from psa_tpu.utils.cache import enable_compilation_cache
