@@ -68,6 +68,25 @@ def sharded_multichip():
           f"score={res.score:g}")
 
 
+def sharded_auto_2d():
+    """Workload-aware mesh shape: small-offset-count searches get a char
+    axis (counts psum_scatter + rank pmax over Seq2 chunks, exact by
+    construction); long-Seq1 searches stay offset-sharded.  This is what
+    the CLI --sharded flag routes through."""
+    from psa_tpu.core.alphabet import encode
+    from psa_tpu.core.tables import build_tables
+    from psa_tpu.parallel.mesh import choose_mesh_shape, search_sharded_auto
+    from psa_tpu.utils.generator import random_sequences
+
+    seq1, seq2 = random_sequences(6_000, 2_000, seed=2)
+    tables = build_tables(np.array([1.0, 3.0, 4.0, 2.0]), False)
+    shape = choose_mesh_shape(jax.device_count(), len(seq1) - len(seq2) + 1,
+                              len(seq2))
+    res = search_sharded_auto(encode(seq1), encode(seq2), tables)
+    print(f"sharded-auto (mesh {shape[0]}x{shape[1]} op x ch): "
+          f"offset={res.offset} score={res.score:g}")
+
+
 def sharded_batch_serving():
     """Query axis sharded over every local device: each device sweeps its
     own block of queries (no collectives), selection stays bit-exact."""
@@ -99,4 +118,5 @@ if __name__ == "__main__":
     single_query()
     batch_serving()
     sharded_multichip()
+    sharded_auto_2d()
     sharded_batch_serving()
