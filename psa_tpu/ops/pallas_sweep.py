@@ -491,8 +491,7 @@ def _sweep_kernel_batched(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
 
 def _sweep_kernel_batched_shared(pc_ref, s1c_ref, out_ref, acc_ref, macc_ref,
                                  cscr_ref, oh_ref, pcq_ref, sems, *,
-                                 nchunks: int, tile_o: int, chunk: int,
-                                 nb: int):
+                                 nchunks: int, tile_o: int, chunk: int):
     """Shared-Seq1 fused batch sweep: grid (ntiles, B), B innermost.
 
     The flagship serving pattern is many Seq2 reads against ONE Seq1
@@ -581,7 +580,7 @@ def _sweep_pallas_batched_shared(s1c, pc_all, b: int, noff_pad: int,
     span = tile_o + l2p
     ntiles = noff_pad // tile_o
     kernel = functools.partial(_sweep_kernel_batched_shared, nchunks=nchunks,
-                               tile_o=tile_o, chunk=chunk, nb=b)
+                               tile_o=tile_o, chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid=(ntiles, b),                     # B innermost: expand per TILE
